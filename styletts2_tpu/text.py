@@ -1,0 +1,125 @@
+"""Text frontend: symbol table, cleaner, normalization and chunking.
+
+Behavior-parity with the reference:
+* symbol table construction  — reference train.py:67-83, inference.py:70-86
+* TextCleaner               — reference meldataset.py:21-35
+* text normalization/merge  — reference inference.py:16-55
+
+Pure Python (host-side); token arrays it produces feed the jitted models.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Sequence
+
+from styletts2_tpu.config import SymbolConfig
+
+
+def build_symbol_dict(symbol_cfg: SymbolConfig) -> Dict[str, int]:
+    """char -> id in the order pad, punctuation, letters, letters_ipa, extend."""
+    symbols = (
+        list(symbol_cfg.pad)
+        + list(symbol_cfg.punctuation)
+        + list(symbol_cfg.letters)
+        + list(symbol_cfg.letters_ipa)
+        + list(symbol_cfg.extend)
+    )
+    return {s: i for i, s in enumerate(symbols)}
+
+
+class TextCleaner:
+    """char -> id mapping; unknown chars dropped (warn if debug).
+
+    Parity: reference meldataset.py:21-35."""
+
+    def __init__(self, symbol_dict: Dict[str, int], debug: bool = True):
+        self.word_index_dictionary = symbol_dict
+        self.debug = debug
+
+    def __call__(self, text: str) -> List[int]:
+        indexes = []
+        for char in text:
+            idx = self.word_index_dictionary.get(char)
+            if idx is None:
+                if self.debug:
+                    print(f"WARNING: unknown symbol {char!r} dropped "
+                          "(set debug=false in the config to silence)")
+                continue
+            indexes.append(idx)
+        return indexes
+
+
+_COMMA_LIKE_PUNCT = ["，", "、", "،", ";", "(", "．", "。", "…", "!", "–", ":", "?"]
+_PUNCT_PATTERN = re.compile(
+    "[" + "".join(re.escape(p) for p in _COMMA_LIKE_PUNCT) + "]"
+)
+
+
+def normalize_text(text: str) -> str:
+    """Map comma/period-like punctuation to '.', squeeze whitespace.
+
+    Parity: reference inference.py:17-25."""
+    text = _PUNCT_PATTERN.sub(".", text)
+    return re.sub(r"\s+", " ", text).strip()
+
+
+def merge_fragments(texts: Sequence[str], n: int) -> List[str]:
+    """Greedily merge consecutive sentences until each has >= n words.
+
+    Parity: reference inference.py:26-42 (including the trailing-fragment
+    merge into the previous chunk)."""
+    merged: List[str] = []
+    i = 0
+    texts = list(texts)
+    while i < len(texts):
+        fragment = texts[i]
+        j = i + 1
+        while len(fragment.split()) < n and j < len(texts):
+            fragment += ", " + texts[j]
+            j += 1
+        merged.append(fragment)
+        i = j
+    if len(merged) > 1 and len(merged[-1].split()) < n:
+        merged[-2] = merged[-2] + ", " + merged[-1]
+        del merged[-1]
+    return merged
+
+
+def split_into_chunks(text: str, n_merge: int = 12) -> List[str]:
+    """normalize -> split on '.' -> strip/drop empties -> merge fragments.
+
+    Parity: reference inference.py:50-55 (Preprocess.text_preprocess)."""
+    parts = [s.strip() for s in normalize_text(text).split(".")]
+    parts = [s for s in parts if s]
+    if not parts:
+        return []
+    return merge_fragments(parts, n=n_merge)
+
+
+_WORD_TOKENIZE_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+
+
+def simple_word_tokenize(text: str) -> List[str]:
+    """Lightweight replacement for nltk word_tokenize (reference
+    inference.py:228 uses nltk only to put spaces around punctuation of the
+    already-phonemized string). Falls back to nltk when available so the
+    behavior can be matched bit-for-bit if the corpus data is installed."""
+    try:  # pragma: no cover - environment dependent
+        from nltk.tokenize import word_tokenize
+
+        return word_tokenize(text)
+    except Exception:
+        return _WORD_TOKENIZE_RE.findall(text)
+
+
+def tokens_for_sentence(
+    sentence: str, cleaner: TextCleaner, pad_id: int = 0
+) -> List[int]:
+    """word-tokenize + clean + wrap with pad ids.
+
+    Parity: reference inference.py:228-232 (join tokenized words with spaces,
+    clean, insert pad at both ends)."""
+    phonem = " ".join(simple_word_tokenize(sentence))
+    toks = cleaner(phonem)
+    return [pad_id] + toks + [pad_id]

@@ -1,0 +1,71 @@
+"""Text frontend parity tests (vs reference meldataset.py / inference.py)."""
+
+from styletts2_tpu.config import SymbolConfig
+from styletts2_tpu.text import (
+    TextCleaner,
+    build_symbol_dict,
+    merge_fragments,
+    normalize_text,
+    split_into_chunks,
+)
+
+
+def test_symbol_dict_size():
+    # 178 raw symbols (config_example.yaml:17), but "'" appears twice in
+    # letters_ipa so the dict collapses to 177 entries and n_token = 178 —
+    # matching the reference exactly (train.py:75-79: later index wins).
+    d = build_symbol_dict(SymbolConfig())
+    assert len(d) == 177
+    assert len(d) + 1 == 178  # n_token
+    assert d["$"] == 0  # pad is id 0
+
+
+def test_cleaner_drops_unknown():
+    d = build_symbol_dict(SymbolConfig())
+    c = TextCleaner(d, debug=False)
+    ids = c("a b☃c")  # snowman is unknown -> dropped
+    assert ids == [d["a"], d[" "], d["b"], d["c"]]
+
+
+def test_normalize_text():
+    assert normalize_text("a;b! c?   d") == "a.b. c. d"
+    assert normalize_text("  x   y  ") == "x y"
+
+
+def test_merge_fragments():
+    # short fragments merge with commas until >= n words
+    out = merge_fragments(["one two", "three", "four five six"], n=3)
+    assert out == ["one two, three", "four five six"]
+    # trailing short fragment folds into previous
+    out = merge_fragments(["one two three", "four"], n=3)
+    assert out == ["one two three, four"]
+
+
+def test_split_into_chunks():
+    text = "Hello there. How are you today my friend? I am fine."
+    chunks = split_into_chunks(text, n_merge=4)
+    assert all(len(c.split()) >= 2 for c in chunks)
+    assert "".join(chunks)  # non-empty
+
+
+def test_chunks_match_reference_behavior():
+    import sys
+    from conftest import has_reference, add_reference_to_path
+
+    if not has_reference():
+        return
+    add_reference_to_path()
+    try:
+        from inference import Preprocess  # reference inference.py:16-55
+    except Exception:
+        return
+    ref = Preprocess()
+    for text in [
+        "Hello there. How are you today my friend? I am fine.",
+        "One. Two. Three. Four words exactly here. Five!",
+        "a, b; c: d",
+    ]:
+        for n in (1, 3, 12):
+            theirs = ref.text_preprocess(text, n_merge=n)
+            ours = split_into_chunks(text, n_merge=n)
+            assert ours == theirs, (text, n, ours, theirs)
