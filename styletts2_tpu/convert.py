@@ -1,0 +1,70 @@
+"""PyTorch checkpoint -> JAX param-tree converter.
+
+Because every module's param tree mirrors its torch state_dict paths, the
+conversion is a mechanical unflatten:
+  'generator.resblocks.3.convs1.0.weight_v' ->
+  params['generator']['resblocks']['3']['convs1']['0']['weight_v']
+
+Handles the reference's quirks:
+* DataParallel 'module.' prefixes (reference models.py:578-612)
+* old-style weight_norm ('weight_g'/'weight_v') and new-style
+  parametrizations ('parametrizations.weight.original0/1' — used by the
+  vocos decoder, reference vocos.py:10)
+* buffers we don't need (num_batches_tracked) are dropped.
+
+torch is only imported inside load_torch_checkpoint, so the module stays
+importable in torch-free deployments.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+# torch tensors for these leaves are kept verbatim; everything else too —
+# layouts are handled at apply time.
+_DROP_LEAVES = {"num_batches_tracked"}
+
+
+def state_dict_to_tree(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Flat torch state_dict (str -> tensor/ndarray) -> nested dict of
+    jnp arrays keyed by the torch module path components."""
+    tree: Dict[str, Any] = {}
+    for key, value in sd.items():
+        parts = key.split(".")
+        if parts[0] == "module":  # DataParallel prefix
+            parts = parts[1:]
+        # new-style weight norm: <mod>.parametrizations.weight.original{0,1}
+        if len(parts) >= 3 and parts[-3] == "parametrizations" and parts[-2] == "weight":
+            leaf = {"original0": "weight_g", "original1": "weight_v"}[parts[-1]]
+            parts = parts[:-3] + [leaf]
+        if parts[-1] in _DROP_LEAVES:
+            continue
+        node = tree
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        arr = np.asarray(value.detach().cpu().numpy() if hasattr(value, "detach")
+                         else value)
+        node[parts[-1]] = jnp.asarray(arr)
+    return tree
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, Dict[str, Any]]:
+    """Load a reference .pth training checkpoint: state['net'][module_key]
+    (reference train.py:349-357) -> {module_key: param_tree}."""
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=False)
+    net = state.get("net", state)
+    out = {}
+    for module_key, sd in net.items():
+        if isinstance(sd, Mapping):
+            out[module_key] = state_dict_to_tree(sd)
+    return out
+
+
+def module_to_tree(torch_module) -> Dict[str, Any]:
+    """Convert a live torch module's state_dict (testing convenience)."""
+    return state_dict_to_tree(torch_module.state_dict())

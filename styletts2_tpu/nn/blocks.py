@@ -1,0 +1,202 @@
+"""Shared residual blocks.
+
+One copy of the blocks the reference duplicates per decoder file
+(AdaIN1d/AdainResBlk1d/UpSample1d appear in models.py:303-370,
+hifigan.py:359-414, istftnet.py:603-658 and vocos.py:307-362 — identical).
+
+Channels-last activations; params mirror torch state_dict names.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from styletts2_tpu.nn import layers as L
+
+SQRT2 = math.sqrt(2.0)
+
+
+# ---------------------------------------------------------------------------
+# 2-D ResBlk (StyleEncoder; reference models.py:82-123)
+# ---------------------------------------------------------------------------
+
+
+def res_blk2d_init(key, dim_in: int, dim_out: int, downsample: str = "half"):
+    keys = jax.random.split(key, 4)
+    p = {
+        "conv1": L.conv2d_init(keys[0], dim_in, dim_in, (3, 3)),
+        "conv2": L.conv2d_init(keys[1], dim_in, dim_out, (3, 3)),
+    }
+    if downsample == "half":
+        # LearnedDownSample 'half': depthwise 3x3 stride-2 (models.py:23)
+        p["downsample_res"] = {"conv": L.conv2d_init(keys[2], dim_in, dim_in,
+                                                     (3, 3), groups=dim_in)}
+    if dim_in != dim_out:
+        p["conv1x1"] = L.conv2d_init(keys[3], dim_in, dim_out, (1, 1), bias=False)
+    return p
+
+
+def res_blk2d_apply(p, x: jnp.ndarray, downsample: str = "half",
+                    slope: float = 0.2) -> jnp.ndarray:
+    """x: (B, H, W, C). 'half' downsampling halves H and W.
+
+    Shortcut: 1x1 conv + avg-pool (odd-W edge-duplicated, odd-H floor —
+    models.py:53-63); residual: lrelu/conv3x3/learned-downsample/lrelu/conv3x3.
+    """
+    def duplicate_last_col(v):
+        if v.shape[2] % 2 != 0:
+            return jnp.concatenate([v, v[:, :, -1:, :]], axis=2)
+        return v
+
+    # shortcut
+    sc = x
+    if "conv1x1" in p:
+        sc = L.conv2d_apply(p["conv1x1"], sc)
+    if downsample == "half":
+        sc = L.avg_pool2d_floor(duplicate_last_col(sc), 2)
+
+    # residual
+    h = L.leaky_relu(x, slope)
+    h = L.conv2d_apply(p["conv1"], h, padding=(1, 1))
+    if downsample == "half":
+        h = L.conv2d_apply(p["downsample_res"]["conv"], h, stride=(2, 2),
+                           padding=(1, 1), groups=h.shape[-1])
+    h = L.leaky_relu(h, slope)
+    h = L.conv2d_apply(p["conv2"], h, padding=(1, 1))
+    return (sc + h) / SQRT2
+
+
+# ---------------------------------------------------------------------------
+# AdainResBlk1d (reference models.py:326-370)
+# ---------------------------------------------------------------------------
+
+
+def adain_res_blk1d_init(key, dim_in: int, dim_out: int, style_dim: int = 64,
+                         upsample: bool = False):
+    keys = jax.random.split(key, 6)
+    p = {
+        "conv1": L.conv1d_init(keys[0], dim_in, dim_out, 3, weight_norm=True),
+        "conv2": L.conv1d_init(keys[1], dim_out, dim_out, 3, weight_norm=True),
+        "norm1": L.adain_1d_init(keys[2], style_dim, dim_in),
+        "norm2": L.adain_1d_init(keys[3], style_dim, dim_out),
+    }
+    if dim_in != dim_out:
+        p["conv1x1"] = L.conv1d_init(keys[4], dim_in, dim_out, 1, bias=False,
+                                     weight_norm=True)
+    if upsample:
+        # depthwise ConvTranspose1d k3 s2 pad1 outpad1 (models.py:340)
+        p["pool"] = L.conv_transpose1d_init(keys[5], dim_in, dim_in, 3,
+                                            groups=dim_in, weight_norm=True)
+    return p
+
+
+def adain_res_blk1d_apply(p, x: jnp.ndarray, s: jnp.ndarray,
+                          upsample: bool = False,
+                          mask: Optional[jnp.ndarray] = None,
+                          out_mask: Optional[jnp.ndarray] = None,
+                          dropout_p: float = 0.0, train: bool = False,
+                          rng=None) -> jnp.ndarray:
+    """x: (B, T, C). With upsample=True output T doubles.
+
+    mask (B, T): valid mask at the input rate (AdaIN stats + re-zeroing);
+    out_mask (B, 2T): valid mask at the output rate when upsampling.
+    """
+    slope = 0.2
+    r1 = r2 = None
+    if rng is not None:
+        r1, r2 = jax.random.split(rng)
+
+    # shortcut
+    sc = x
+    if upsample:
+        sc = L.upsample_nearest_1d(sc, 2)
+    if "conv1x1" in p:
+        if out_mask is not None and upsample:
+            sc = jnp.where(out_mask[..., None], sc, 0.0)
+        sc = L.conv1d_apply(p["conv1x1"], sc)
+
+    # residual
+    h = L.adain_1d_apply(p["norm1"], x, s, mask)
+    h = L.leaky_relu(h, slope)
+    if upsample:
+        if mask is not None:
+            h = jnp.where(mask[..., None], h, 0.0)
+        h = L.conv_transpose1d_apply(p["pool"], h, stride=2, padding=1,
+                                     output_padding=1, groups=h.shape[-1])
+        cur_mask = out_mask
+    else:
+        cur_mask = mask
+    h = L.dropout(h, dropout_p, train, r1)
+    if cur_mask is not None:
+        h = jnp.where(cur_mask[..., None], h, 0.0)
+    h = L.conv1d_apply(p["conv1"], h, padding=1)
+    h = L.adain_1d_apply(p["norm2"], h, s, cur_mask)
+    h = L.leaky_relu(h, slope)
+    h = L.dropout(h, dropout_p, train, r2)
+    if cur_mask is not None:
+        h = jnp.where(cur_mask[..., None], h, 0.0)
+    h = L.conv1d_apply(p["conv2"], h, padding=1)
+
+    return (h + sc) / SQRT2
+
+
+# ---------------------------------------------------------------------------
+# AdaINResBlock1 — the snake/AdaIN dilated stack inside the vocoder
+# (reference hifigan.py:26-80 / istftnet.py:27-81)
+# ---------------------------------------------------------------------------
+
+
+def adain_res_block1_init(key, channels: int, kernel_size: int = 3,
+                          dilation=(1, 3, 5), style_dim: int = 64):
+    """Param tree mirrors the torch module paths exactly: convs1.{i}.*,
+    adain1.{i}.fc.*, alpha1.{i} (torch shape (1, C, 1))."""
+    n = len(dilation)
+    keys = jax.random.split(key, 4 * n)
+    p = {
+        "convs1": {str(i): L.conv1d_init(keys[i], channels, channels,
+                                         kernel_size, weight_norm=True)
+                   for i in range(n)},
+        "convs2": {str(i): L.conv1d_init(keys[n + i], channels, channels,
+                                         kernel_size, weight_norm=True)
+                   for i in range(n)},
+        "adain1": {str(i): L.adain_1d_init(keys[2 * n + i], style_dim, channels)
+                   for i in range(n)},
+        "adain2": {str(i): L.adain_1d_init(keys[3 * n + i], style_dim, channels)
+                   for i in range(n)},
+        "alpha1": {str(i): jnp.ones((1, channels, 1), jnp.float32)
+                   for i in range(n)},
+        "alpha2": {str(i): jnp.ones((1, channels, 1), jnp.float32)
+                   for i in range(n)},
+    }
+    return p
+
+
+def _alpha_cl(a: jnp.ndarray, dtype) -> jnp.ndarray:
+    """torch alpha (1, C, 1) -> channels-last (1, 1, C)."""
+    return jnp.swapaxes(a, 1, 2).astype(dtype)
+
+
+def adain_res_block1_apply(p, x: jnp.ndarray, s: jnp.ndarray,
+                           kernel_size: int, dilation=(1, 3, 5),
+                           mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """x: (B, T, C); the weight-norm convs keep T (SAME padding)."""
+    for i, d in enumerate(dilation):
+        si = str(i)
+        pad1 = (kernel_size * d - d) // 2
+        pad2 = (kernel_size - 1) // 2
+        xt = L.adain_1d_apply(p["adain1"][si], x, s, mask)
+        xt = L.snake(xt, _alpha_cl(p["alpha1"][si], xt.dtype))
+        if mask is not None:
+            xt = jnp.where(mask[..., None], xt, 0.0)
+        xt = L.conv1d_apply(p["convs1"][si], xt, padding=pad1, dilation=d)
+        xt = L.adain_1d_apply(p["adain2"][si], xt, s, mask)
+        xt = L.snake(xt, _alpha_cl(p["alpha2"][si], xt.dtype))
+        if mask is not None:
+            xt = jnp.where(mask[..., None], xt, 0.0)
+        xt = L.conv1d_apply(p["convs2"][si], xt, padding=pad2, dilation=1)
+        x = xt + x
+    return x

@@ -1,0 +1,519 @@
+"""NN primitives: convs, weight norm, LSTMs, norms — functional JAX.
+
+Conventions (chosen so the torch checkpoint converter is a tree copy):
+* params are nested dicts whose leaf names mirror torch state_dicts
+  (`weight`, `bias`, `weight_g`/`weight_v`, `weight_ih_l0`, ...), stored in
+  torch layouts ((out,in,k) convs, (out,in) linears, (4H,In) LSTMs);
+* activations are channels-last: (B, T, C) for 1-D, (B, H, W, C) for 2-D —
+  the TPU-friendly layout; the transposes into XLA's ('NHC','HIO','NHC')
+  conv forms happen at apply time and fuse into the convs;
+* masks are "valid" masks (1 = real data), the complement of the reference's
+  pad masks (utils.length_to_mask, reference utils.py:42-45);
+* dropout / PRNG is explicit: apply fns take `train` and an optional `rng`.
+
+Parity targets are cited per function.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_F32 = jax.lax.Precision.HIGHEST
+
+
+def _prec(x: jnp.ndarray):
+    """f32 inputs get true-f32 math; low precision dtypes use the default."""
+    return _F32 if x.dtype == jnp.float32 else None
+
+
+def leaky_relu(x: jnp.ndarray, slope: float = 0.2) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, x * slope)
+
+
+def snake(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """Snake1D: x + (1/a)*sin^2(a*x) (reference hifigan.py:68-71, 329-343)."""
+    s = jnp.sin(alpha * x)
+    return x + (1.0 / alpha) * (s * s)
+
+
+def dropout(x: jnp.ndarray, rate: float, train: bool, rng) -> jnp.ndarray:
+    if not train or rate <= 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# linear / embedding
+# ---------------------------------------------------------------------------
+
+
+def linear_init(key, in_dim: int, out_dim: int, bias: bool = True,
+                w_init_gain: str = "linear"):
+    """LinearNorm parity (reference models.py:152-162): xavier-uniform."""
+    gain = {"linear": 1.0, "tanh": 5.0 / 3.0, "relu": math.sqrt(2.0)}[w_init_gain]
+    bound = gain * math.sqrt(6.0 / (in_dim + out_dim))
+    p = {"weight": jax.random.uniform(key, (out_dim, in_dim), jnp.float32,
+                                      -bound, bound)}
+    if bias:
+        p["bias"] = jnp.zeros((out_dim,), jnp.float32)
+    return p
+
+
+def torch_linear_init(key, in_dim: int, out_dim: int, bias: bool = True):
+    """torch.nn.Linear default init (kaiming uniform a=sqrt(5) + fan-in bias)."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_dim)
+    p = {"weight": jax.random.uniform(kw, (out_dim, in_dim), jnp.float32,
+                                      -bound, bound)}
+    if bias:
+        p["bias"] = jax.random.uniform(kb, (out_dim,), jnp.float32, -bound, bound)
+    return p
+
+
+def linear_apply(p, x: jnp.ndarray) -> jnp.ndarray:
+    w = p["weight"].astype(x.dtype)
+    y = jnp.matmul(x, w.T, precision=_prec(x))
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def embedding_init(key, n: int, dim: int):
+    return {"weight": jax.random.normal(key, (n, dim), jnp.float32)}
+
+
+def embedding_apply(p, ids: jnp.ndarray) -> jnp.ndarray:
+    return p["weight"][ids]
+
+
+# ---------------------------------------------------------------------------
+# weight norm
+# ---------------------------------------------------------------------------
+
+
+def weight_norm_init(key_or_weight, shape=None):
+    """Split a torch-layout weight into (weight_g, weight_v) like
+    torch.nn.utils.weight_norm(dim=0)."""
+    w = key_or_weight
+    reduce_axes = tuple(range(1, w.ndim))
+    g = jnp.sqrt(jnp.sum(w * w, axis=reduce_axes, keepdims=True))
+    return {"weight_g": g, "weight_v": w}
+
+
+def weight_norm_merge(p) -> jnp.ndarray:
+    """w = g * v / ||v||, norms over all-but-dim-0 (torch weight_norm parity)."""
+    v = p["weight_v"]
+    g = p["weight_g"]
+    reduce_axes = tuple(range(1, v.ndim))
+    norm = jnp.sqrt(jnp.sum(jnp.square(v.astype(jnp.float32)), axis=reduce_axes,
+                            keepdims=True))
+    return (g * v / norm.astype(v.dtype)).astype(v.dtype)
+
+
+def _get_weight(p) -> jnp.ndarray:
+    if "weight_v" in p:
+        return weight_norm_merge(p)
+    return p["weight"]
+
+
+# ---------------------------------------------------------------------------
+# conv1d / conv2d / transposed conv (channels-last activations)
+# ---------------------------------------------------------------------------
+
+
+def conv1d_init(key, in_ch: int, out_ch: int, k: int, groups: int = 1,
+                bias: bool = True, weight_norm: bool = False):
+    """torch.nn.Conv1d default init (kaiming uniform a=sqrt(5))."""
+    kw, kb = jax.random.split(key)
+    fan_in = in_ch // groups * k
+    bound = 1.0 / math.sqrt(fan_in)
+    w = jax.random.uniform(kw, (out_ch, in_ch // groups, k), jnp.float32,
+                           -bound, bound)
+    p = weight_norm_init(w) if weight_norm else {"weight": w}
+    if bias:
+        p["bias"] = jax.random.uniform(kb, (out_ch,), jnp.float32, -bound, bound)
+    return p
+
+
+def conv1d_apply(p, x: jnp.ndarray, stride: int = 1, padding: int = 0,
+                 dilation: int = 1, groups: int = 1) -> jnp.ndarray:
+    """x: (B, T, C_in) -> (B, T', C_out); weight torch-layout (out, in/g, k)."""
+    w = _get_weight(p).astype(x.dtype)
+    w = jnp.transpose(w, (2, 1, 0))  # (k, in/g, out) == 'HIO'
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride,), padding=[(padding, padding)],
+        rhs_dilation=(dilation,), feature_group_count=groups,
+        dimension_numbers=("NHC", "HIO", "NHC"), precision=_prec(x))
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def conv_transpose1d_init(key, in_ch: int, out_ch: int, k: int, groups: int = 1,
+                          bias: bool = True, weight_norm: bool = False):
+    """torch.nn.ConvTranspose1d weight layout (in, out/g, k)."""
+    kw, kb = jax.random.split(key)
+    fan_in = out_ch // groups * k  # torch uses weight.size(1)*k for transposed
+    bound = 1.0 / math.sqrt(fan_in)
+    w = jax.random.uniform(kw, (in_ch, out_ch // groups, k), jnp.float32,
+                           -bound, bound)
+    p = weight_norm_init(w) if weight_norm else {"weight": w}
+    if bias:
+        p["bias"] = jax.random.uniform(kb, (out_ch,), jnp.float32, -bound, bound)
+    return p
+
+
+def conv_transpose1d_apply(p, x: jnp.ndarray, stride: int, padding: int = 0,
+                           output_padding: int = 0, groups: int = 1) -> jnp.ndarray:
+    """torch.nn.ConvTranspose1d parity via lhs-dilated conv.
+
+    x: (B, T, C_in) -> (B, (T-1)*stride - 2*pad + k + output_padding, C_out).
+    """
+    w = _get_weight(p).astype(x.dtype)  # (in, out/g, k)
+    in_ch = w.shape[0]
+    out_per_g = w.shape[1]
+    k = w.shape[2]
+    # rearrange to 'HIO' with groups: kernel[k, i_local, o_global]
+    w = w.reshape(groups, in_ch // groups, out_per_g, k)
+    w = jnp.transpose(w, (3, 1, 0, 2))  # (k, in/g, g, out/g)
+    w = w.reshape(k, in_ch // groups, groups * out_per_g)
+    w = jnp.flip(w, axis=0)
+    pad_lo = k - 1 - padding
+    pad_hi = k - 1 - padding + output_padding
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1,), padding=[(pad_lo, pad_hi)],
+        lhs_dilation=(stride,), feature_group_count=groups,
+        dimension_numbers=("NHC", "HIO", "NHC"), precision=_prec(x))
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def conv2d_init(key, in_ch: int, out_ch: int, k: Tuple[int, int],
+                groups: int = 1, bias: bool = True, weight_norm: bool = False):
+    kw, kb = jax.random.split(key)
+    kh, kw_ = k
+    fan_in = in_ch // groups * kh * kw_
+    bound = 1.0 / math.sqrt(fan_in)
+    w = jax.random.uniform(kw, (out_ch, in_ch // groups, kh, kw_), jnp.float32,
+                           -bound, bound)
+    p = weight_norm_init(w) if weight_norm else {"weight": w}
+    if bias:
+        p["bias"] = jax.random.uniform(kb, (out_ch,), jnp.float32, -bound, bound)
+    return p
+
+
+def conv2d_apply(p, x: jnp.ndarray, stride=(1, 1), padding=(0, 0),
+                 dilation=(1, 1), groups: int = 1) -> jnp.ndarray:
+    """x: (B, H, W, C_in); weight torch-layout (out, in/g, kh, kw)."""
+    w = _get_weight(p).astype(x.dtype)
+    w = jnp.transpose(w, (2, 3, 1, 0))  # 'HWIO'
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=tuple(stride),
+        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        rhs_dilation=tuple(dilation), feature_group_count=groups,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=_prec(x))
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def conv_transpose2d_apply(p, x: jnp.ndarray, stride=(2, 2), padding=(1, 1),
+                           output_padding=(1, 1), groups: int = 1) -> jnp.ndarray:
+    """torch.nn.ConvTranspose2d parity; weight (in, out/g, kh, kw)."""
+    w = _get_weight(p).astype(x.dtype)
+    in_ch, out_per_g, kh, kw_ = w.shape
+    w = w.reshape(groups, in_ch // groups, out_per_g, kh, kw_)
+    w = jnp.transpose(w, (3, 4, 1, 0, 2)).reshape(kh, kw_, in_ch // groups,
+                                                  groups * out_per_g)
+    w = jnp.flip(w, axis=(0, 1))
+    pads = [(kh - 1 - padding[0], kh - 1 - padding[0] + output_padding[0]),
+            (kw_ - 1 - padding[1], kw_ - 1 - padding[1] + output_padding[1])]
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=pads,
+        lhs_dilation=tuple(stride), feature_group_count=groups,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=_prec(x))
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# norms
+# ---------------------------------------------------------------------------
+
+
+def layer_norm_init(channels: int):
+    """reference models.LayerNorm (models.py:224-236): gamma/beta over C."""
+    return {"gamma": jnp.ones((channels,), jnp.float32),
+            "beta": jnp.zeros((channels,), jnp.float32)}
+
+
+def layer_norm_apply(p, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """x: (..., C), normalize over the trailing channel dim."""
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["gamma"] + p["beta"]
+    return y.astype(x.dtype)
+
+
+def plain_layer_norm(x: jnp.ndarray, eps: float = 1e-5,
+                     gamma: Optional[jnp.ndarray] = None,
+                     beta: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """F.layer_norm without/with affine, over the trailing dim."""
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if gamma is not None:
+        y = y * gamma
+    if beta is not None:
+        y = y + beta
+    return y.astype(x.dtype)
+
+
+def instance_norm_1d(x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+                     eps: float = 1e-5) -> jnp.ndarray:
+    """InstanceNorm1d(affine=False) on channels-last (B, T, C).
+
+    Stats over the T axis per (B, C). `mask` (B, T) of 1=valid makes the
+    stats padding-invariant (needed because we run on padded static-shape
+    buckets; the reference computes exact-length tensors at inference)."""
+    xf = x.astype(jnp.float32)
+    if mask is None:
+        mean = xf.mean(axis=1, keepdims=True)
+        var = ((xf - mean) ** 2).mean(axis=1, keepdims=True)
+    else:
+        m = mask.astype(jnp.float32)[..., None]  # (B, T, 1)
+        denom = jnp.maximum(m.sum(axis=1, keepdims=True), 1.0)
+        mean = (xf * m).sum(axis=1, keepdims=True) / denom
+        var = (jnp.square(xf - mean) * m).sum(axis=1, keepdims=True) / denom
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return y.astype(x.dtype)
+
+
+def adain_1d_init(key, style_dim: int, num_features: int):
+    """AdaIN1d (reference models.py:303-313): fc style->(2*C)."""
+    return {"fc": torch_linear_init(key, style_dim, num_features * 2)}
+
+
+def adain_1d_apply(p, x: jnp.ndarray, s: jnp.ndarray,
+                   mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """(1+gamma)*InstanceNorm(x) + beta, channels-last (B, T, C)."""
+    h = linear_apply(p["fc"], s)  # (B, 2C)
+    gamma, beta = jnp.split(h, 2, axis=-1)
+    y = instance_norm_1d(x, mask)
+    return (1.0 + gamma[:, None, :]) * y + beta[:, None, :]
+
+
+def ada_layer_norm_init(key, style_dim: int, channels: int):
+    """AdaLayerNorm (reference models.py:372-392)."""
+    return {"fc": torch_linear_init(key, style_dim, channels * 2)}
+
+
+def ada_layer_norm_apply(p, x: jnp.ndarray, s: jnp.ndarray,
+                         eps: float = 1e-5) -> jnp.ndarray:
+    """(1+gamma)*LN(x)+beta over channels; x (B, T, C)."""
+    h = linear_apply(p["fc"], s)
+    gamma, beta = jnp.split(h, 2, axis=-1)
+    y = plain_layer_norm(x, eps)
+    return (1.0 + gamma[:, None, :]) * y + beta[:, None, :]
+
+
+def group_norm_init(channels: int):
+    return {"weight": jnp.ones((channels,), jnp.float32),
+            "bias": jnp.zeros((channels,), jnp.float32)}
+
+
+def group_norm_apply(p, x: jnp.ndarray, num_groups: int,
+                     eps: float = 1e-5) -> jnp.ndarray:
+    """torch GroupNorm parity on channels-last (B, T, C): stats over (T, C/G)."""
+    b, t, c = x.shape
+    xf = x.astype(jnp.float32).reshape(b, t, num_groups, c // num_groups)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=(1, 3), keepdims=True)
+    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(b, t, c)
+    y = y * p["weight"] + p["bias"]
+    return y.astype(x.dtype)
+
+
+def batch_norm_init(channels: int):
+    return {"weight": jnp.ones((channels,), jnp.float32),
+            "bias": jnp.zeros((channels,), jnp.float32),
+            "running_mean": jnp.zeros((channels,), jnp.float32),
+            "running_var": jnp.ones((channels,), jnp.float32)}
+
+
+def batch_norm_apply(p, x: jnp.ndarray, train: bool = False,
+                     eps: float = 1e-5) -> jnp.ndarray:
+    """BatchNorm on channels-last input of any rank; batch stats when train.
+
+    Running-stat updates are handled by the train step (functional update);
+    this returns the normalized output only (eval mode uses running stats,
+    matching the reference's frozen JDC usage, JDC/model.py:20-37)."""
+    if train:
+        axes = tuple(range(x.ndim - 1))
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=axes)
+        var = ((xf - mean) ** 2).mean(axis=axes)
+    else:
+        mean = p["running_mean"]
+        var = p["running_var"]
+    scale = (p["weight"] * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    shift = (p["bias"] - p["weight"] * mean * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    return x * scale + shift
+
+
+# ---------------------------------------------------------------------------
+# pooling / resizing
+# ---------------------------------------------------------------------------
+
+
+def avg_pool2d_floor(x: jnp.ndarray, k: int = 2) -> jnp.ndarray:
+    """F.avg_pool2d(x, k) floor-mode parity on (B, H, W, C)."""
+    b, h, w, c = x.shape
+    h2, w2 = (h // k) * k, (w // k) * k
+    x = x[:, :h2, :w2, :]
+    x = x.reshape(b, h2 // k, k, w2 // k, k, c)
+    return x.mean(axis=(2, 4))
+
+
+def upsample_nearest_1d(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """(B, T, C) nearest 2x (reference UpSample1d, models.py:315-324)."""
+    return jnp.repeat(x, factor, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# LSTM (torch parity, mask-aware scan)
+# ---------------------------------------------------------------------------
+
+
+def lstm_init(key, input_dim: int, hidden: int, bidirectional: bool = True):
+    """torch.nn.LSTM default init: U(-1/sqrt(H), 1/sqrt(H)) on all params."""
+    bound = 1.0 / math.sqrt(hidden)
+    names = ["weight_ih_l0", "weight_hh_l0", "bias_ih_l0", "bias_hh_l0"]
+    shapes = [(4 * hidden, input_dim), (4 * hidden, hidden),
+              (4 * hidden,), (4 * hidden,)]
+    if bidirectional:
+        names += [n + "_reverse" for n in names]
+        shapes = shapes * 2
+    keys = jax.random.split(key, len(names))
+    return {n: jax.random.uniform(k, sh, jnp.float32, -bound, bound)
+            for n, k, sh in zip(names, keys, shapes)}
+
+
+def _lstm_scan(xw: jnp.ndarray, w_hh: jnp.ndarray, mask: jnp.ndarray,
+               hidden: int) -> jnp.ndarray:
+    """Scan a single direction. xw: (B, T, 4H) precomputed input projections
+    (+biases); mask: (B, T) 1=valid. Returns h sequence (B, T, H).
+
+    The masked carry update reproduces pack_padded_sequence semantics: the
+    state freezes through padding, so for the reversed direction (padding at
+    the *start* of the reversed sequence) the state is still the zero init
+    when the valid region begins — exactly where torch starts it."""
+    b = xw.shape[0]
+    h0 = jnp.zeros((b, hidden), xw.dtype)
+    c0 = jnp.zeros((b, hidden), jnp.float32)
+
+    w_hh_t = w_hh.T.astype(xw.dtype)  # (H, 4H)
+
+    def step(carry, inp):
+        h_prev, c_prev = carry
+        xw_t, m_t = inp
+        gates = xw_t + jnp.matmul(h_prev, w_hh_t, precision=_prec(h_prev))
+        gf = gates.astype(jnp.float32)
+        i, f, g, o = jnp.split(gf, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c = f * c_prev + i * g
+        h = (o * jnp.tanh(c)).astype(xw.dtype)
+        m = m_t[:, None]
+        h = jnp.where(m, h, h_prev)
+        c = jnp.where(m, c, c_prev)
+        return (h, c), h
+
+    xs = (jnp.swapaxes(xw, 0, 1), jnp.swapaxes(mask, 0, 1).astype(bool))
+    _, hs = jax.lax.scan(step, (h0, c0), xs)
+    return jnp.swapaxes(hs, 0, 1)  # (B, T, H)
+
+
+def lstm_apply(p, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+               bidirectional: bool = True) -> jnp.ndarray:
+    """torch.nn.LSTM(batch_first=True) parity with variable lengths.
+
+    x: (B, T, In); mask: (B, T) 1=valid (None = all valid). Output (B, T, H)
+    or (B, T, 2H); padded positions are zeroed (pad_packed_sequence parity).
+    """
+    b, t, _ = x.shape
+    hidden = p["weight_hh_l0"].shape[1]
+    if mask is None:
+        mask = jnp.ones((b, t), bool)
+
+    def direction(suffix: str, xs: jnp.ndarray, ms: jnp.ndarray) -> jnp.ndarray:
+        w_ih = p["weight_ih_l0" + suffix]
+        w_hh = p["weight_hh_l0" + suffix]
+        bias = p["bias_ih_l0" + suffix] + p["bias_hh_l0" + suffix]
+        xw = jnp.matmul(xs, w_ih.T.astype(xs.dtype), precision=_prec(xs))
+        xw = xw + bias.astype(xs.dtype)
+        return _lstm_scan(xw, w_hh, ms, hidden)
+
+    h_fwd = direction("", x, mask)
+    if not bidirectional:
+        return jnp.where(mask[..., None], h_fwd, 0.0)
+    # reverse each row within its valid length == flip the padded array and
+    # flip back (padding moves to the front; the masked carry handles it).
+    x_rev = jnp.flip(x, axis=1)
+    m_rev = jnp.flip(mask, axis=1)
+    h_bwd = jnp.flip(direction("_reverse", x_rev, m_rev), axis=1)
+    out = jnp.concatenate([h_fwd, h_bwd], axis=-1)
+    return jnp.where(mask[..., None], out, 0.0)
+
+
+def lstm_cell_init(key, input_dim: int, hidden: int):
+    """torch.nn.LSTMCell param names."""
+    bound = 1.0 / math.sqrt(hidden)
+    keys = jax.random.split(key, 4)
+    return {
+        "weight_ih": jax.random.uniform(keys[0], (4 * hidden, input_dim), jnp.float32, -bound, bound),
+        "weight_hh": jax.random.uniform(keys[1], (4 * hidden, hidden), jnp.float32, -bound, bound),
+        "bias_ih": jax.random.uniform(keys[2], (4 * hidden,), jnp.float32, -bound, bound),
+        "bias_hh": jax.random.uniform(keys[3], (4 * hidden,), jnp.float32, -bound, bound),
+    }
+
+
+def lstm_cell_apply(p, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray):
+    """One LSTMCell step: x (B, In), h (B, H), c (B, H) -> (h', c')."""
+    gates = (jnp.matmul(x, p["weight_ih"].T.astype(x.dtype), precision=_prec(x))
+             + jnp.matmul(h, p["weight_hh"].T.astype(x.dtype), precision=_prec(x))
+             + (p["bias_ih"] + p["bias_hh"]).astype(x.dtype))
+    gf = gates.astype(jnp.float32)
+    i, f, g, o = jnp.split(gf, 4, axis=-1)
+    c2 = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h2 = jax.nn.sigmoid(o) * jnp.tanh(c2)
+    return h2.astype(x.dtype), c2
+
+
+# ---------------------------------------------------------------------------
+# masks
+# ---------------------------------------------------------------------------
+
+
+def length_to_valid_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
+    """(B,) lengths -> (B, max_len) bool, True where position < length.
+
+    The complement of the reference's length_to_mask (utils.py:42-45)."""
+    pos = jnp.arange(max_len)[None, :]
+    return pos < lengths[:, None]

@@ -68,6 +68,12 @@ def _dft_bases(n_fft: int, win_length: int, center_window: bool) -> Tuple[np.nda
     angle = 2.0 * np.pi * np.outer(n, k) / n_fft  # (n_fft, freq_bins)
     cos_b = (np.cos(angle) * window[:, None]).astype(np.float32)
     sin_b = (-np.sin(angle) * window[:, None]).astype(np.float32)
+    # DC and (even n_fft) Nyquist imaginary parts are mathematically zero;
+    # np.sin(pi*n) returns ~1e-16 garbage whose sign would otherwise turn
+    # into randomly-signed +-pi phases out of arctan2.
+    sin_b[:, 0] = 0.0
+    if n_fft % 2 == 0:
+        sin_b[:, -1] = 0.0
     return cos_b, sin_b
 
 
@@ -188,6 +194,15 @@ def stft_mag_phase(
     im = jnp.swapaxes(_mm(frames, jnp.asarray(sin_b)), -1, -2)
     mag = jnp.sqrt(re * re + im * im + 1e-14)
     phase = jnp.arctan2(im, re)
+    # Canonicalize the atan2 branch point: when the true phase is ~0/pi the
+    # sign of `im` is rounding noise, so atan2 returns a randomly-signed
+    # +-pi — the reference's phase features are chaotic there (its own ONNX
+    # path patches the imag==0 case, istftnet.py:239-242). Snap near-axis
+    # phases to exactly 0 / +pi and silent bins to 0 for determinism.
+    near_axis = jnp.abs(im) <= 1e-3 * mag
+    phase = jnp.where(near_axis & (re < 0), np.pi, phase)
+    phase = jnp.where(near_axis & (re >= 0), 0.0, phase)
+    phase = jnp.where(mag < 1e-5, 0.0, phase)
     return mag, phase
 
 
