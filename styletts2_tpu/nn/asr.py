@@ -27,16 +27,19 @@ from styletts2_tpu.ops import stft as OPS
 # ---------------------------------------------------------------------------
 
 
-def _conv_norm_init(key, in_ch, out_ch, k=1, w_init_gain="linear"):
+def _conv_norm_init(key, in_ch, out_ch, k=1, w_init_gain="linear",
+                    bias: bool = True):
     kw, kb = jax.random.split(key)
     gain = {"linear": 1.0, "relu": math.sqrt(2.0), "tanh": 5.0 / 3.0}[w_init_gain]
     fan_in, fan_out = in_ch * k, out_ch * k
     bound = gain * math.sqrt(6.0 / (fan_in + fan_out))
-    return {"conv": {
+    p = {"conv": {
         "weight": jax.random.uniform(kw, (out_ch, in_ch, k), jnp.float32,
                                      -bound, bound),
-        "bias": jnp.zeros((out_ch,), jnp.float32),
     }}
+    if bias:
+        p["conv"]["bias"] = jnp.zeros((out_ch,), jnp.float32)
+    return p
 
 
 def conv_block_init(key, hidden: int, n_conv: int = 3):
@@ -85,7 +88,8 @@ def attention_init(key, rnn_dim: int, embed_dim: int, attn_dim: int,
                                                        bias=False, w_init_gain="tanh")},
         "v": {"linear_layer": L.linear_init(keys[2], attn_dim, 1, bias=False)},
         "location_layer": {
-            "location_conv": _conv_norm_init(keys[3], 2, n_filters, kernel),
+            "location_conv": _conv_norm_init(keys[3], 2, n_filters, kernel,
+                                             bias=False),
             "location_dense": {"linear_layer": L.linear_init(
                 keys[4], n_filters, attn_dim, bias=False, w_init_gain="tanh")},
         },
