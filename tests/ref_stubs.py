@@ -10,17 +10,26 @@ reference actually uses is provided:
   itself invariant-tested)
 """
 
+import importlib.machinery
 import sys
 import types
 
 import numpy as np
 
 
+def _module(name):
+    mod = types.ModuleType(name)
+    # transformers probes dependencies via importlib.util.find_spec, which
+    # raises on modules with __spec__ = None
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return mod
+
+
 def install():
     import torch
 
     if "munch" not in sys.modules:
-        munch = types.ModuleType("munch")
+        munch = _module("munch")
 
         class Munch(dict):
             def __getattr__(self, k):
@@ -39,9 +48,9 @@ def install():
         from styletts2_tpu.ops.stft import mel_filterbank
         import scipy.fft as sfft
 
-        ta = types.ModuleType("torchaudio")
-        taf = types.ModuleType("torchaudio.functional")
-        tat = types.ModuleType("torchaudio.transforms")
+        ta = _module("torchaudio")
+        taf = _module("torchaudio.functional")
+        tat = _module("torchaudio.transforms")
 
         def create_dct(n_mfcc, n_mels, norm):
             m = sfft.dct(np.eye(n_mels), type=2,
