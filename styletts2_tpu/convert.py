@@ -68,3 +68,21 @@ def load_torch_checkpoint(path: str) -> Dict[str, Dict[str, Any]]:
 def module_to_tree(torch_module) -> Dict[str, Any]:
     """Convert a live torch module's state_dict (testing convenience)."""
     return state_dict_to_tree(torch_module.state_dict())
+
+
+def fuse_weight_norm(tree):
+    """Pre-merge weight-norm (weight_g, weight_v) pairs into plain weights
+    for inference: w = g * v / ||v|| computed once instead of per call."""
+    import jax.numpy as jnp
+
+    if not isinstance(tree, Mapping):
+        return tree
+    if "weight_v" in tree:
+        from styletts2_tpu.nn.layers import weight_norm_merge
+
+        fused = {"weight": weight_norm_merge(tree)}
+        for k, v in tree.items():
+            if k not in ("weight_v", "weight_g"):
+                fused[k] = v
+        return fused
+    return {k: fuse_weight_norm(v) for k, v in tree.items()}

@@ -1,0 +1,347 @@
+"""Inference engine: the user-facing StyleTTS2 API, TPU-bucketed.
+
+API parity with the reference engine (inference.py:62-319):
+  StyleTTS2(config_path, models_path)
+  .get_styles(speaker, denoise, avg_style, load_styles) -> style dict
+  .generate(phonem, style, stabilize, n_merge) -> np.ndarray waveform
+  .save_styles / .load_styles
+
+TPU-first redesign of the execution:
+* two jitted phases per chunk — phase 1 (text encode + duration) on a
+  static token bucket; phase 2 (alignment + F0/N + vocoder) on a static
+  frame bucket — so arbitrary sentence lengths hit a small set of compiled
+  graphs instead of recompiling (the data-dependent total-frame count from
+  duration rounding lives between the two phases, on host, as a scalar);
+* the hard alignment is the vectorized cumsum/position-mask build
+  (ops/align.py) instead of the reference's python loop (inference.py:258-263);
+* style computation batches the 3-second windows of a reference clip into
+  one styleencoder call (the reference loops sequentially,
+  inference.py:195-217);
+* weight norm is pre-fused; the vocoder can run in bfloat16.
+
+Behavioral deviations (documented):
+* reference-audio lengths are truncated to 1 s granularity for style
+  computation (static shapes); the reference uses exact lengths;
+* denoise requires noisereduce, absent here -> warned and skipped.
+"""
+
+from __future__ import annotations
+
+import bisect
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from styletts2_tpu import audio as AUD
+from styletts2_tpu.checkpoint import apply_checkpoint, load_checkpoint
+from styletts2_tpu.config import Config, load_config
+from styletts2_tpu.convert import fuse_weight_norm
+from styletts2_tpu.models import INFERENCE_MODULES, build_model
+from styletts2_tpu.nn import decoder as DE
+from styletts2_tpu.nn import layers as L
+from styletts2_tpu.nn import predictor as PR
+from styletts2_tpu.nn import style_encoder as SE
+from styletts2_tpu.nn import text_encoder as TE
+from styletts2_tpu.ops import align as ALN
+from styletts2_tpu.ops import stft as OPS
+from styletts2_tpu.text import TextCleaner, build_symbol_dict, \
+    split_into_chunks, tokens_for_sentence
+
+
+def _bucket(buckets, n: int) -> int:
+    i = bisect.bisect_left(buckets, n)
+    if i == len(buckets):
+        raise ValueError(f"length {n} exceeds the largest bucket {buckets[-1]}")
+    return buckets[i]
+
+
+class StyleTTS2:
+    """Zero-shot TTS engine (reference inference.StyleTTS2)."""
+
+    def __init__(self, config, models_path: Optional[str] = None, *,
+                 params: Optional[Dict[str, Any]] = None, seed: int = 0,
+                 decoder_dtype: Optional[str] = None):
+        self.cfg: Config = (config if isinstance(config, Config)
+                            else load_config(config))
+        mp = self.cfg.model_params
+        self.symbol_dict = build_symbol_dict(self.cfg.symbol)
+        self.cleaner = TextCleaner(self.symbol_dict, debug=self.cfg.debug)
+        self.sr = self.cfg.preprocess_params.sr
+        self.hop = self.cfg.preprocess_params.spect_params.hop_length
+        self.ref_s = None
+        self._rng = np.random.default_rng(seed)
+        # when set, every token gets exactly this many frames (bypasses the
+        # duration predictor's output) — deterministic latency for
+        # benchmarking and load testing
+        self.fixed_duration: Optional[int] = None
+
+        if params is None:
+            fresh = build_model(jax.random.PRNGKey(seed), mp)
+            fresh = {k: fresh[k] for k in INFERENCE_MODULES}
+            if models_path:
+                state = load_checkpoint(models_path)
+                state["net"] = {k: v for k, v in state["net"].items()
+                                if k in INFERENCE_MODULES}
+                params = apply_checkpoint(fresh, state)
+            else:
+                params = fresh  # random weights (benching / smoke tests)
+        params = {k: params[k] for k in INFERENCE_MODULES}
+        params = fuse_weight_norm(params)
+
+        self.dtype = jnp.bfloat16 if (decoder_dtype or
+                                      self.cfg.tpu.decoder_dtype) == "bfloat16" \
+            else jnp.float32
+        self.params = params
+
+        self._phase1 = jax.jit(self._phase1_impl)
+        self._phase2 = jax.jit(self._phase2_impl, static_argnames=("n_frames",))
+        self._style_fn = jax.jit(self._style_impl)
+
+    # ------------------------------------------------------------------
+    # jitted graphs
+    # ------------------------------------------------------------------
+
+    def _style_impl(self, params, wav: jnp.ndarray) -> jnp.ndarray:
+        """(B, T) waveform -> (B, style_dim)."""
+        mel = OPS.preprocess_wave(wav, sr=self.sr,
+                                  n_fft=self.cfg.preprocess_params.spect_params.n_fft,
+                                  win_length=self.cfg.preprocess_params.spect_params.win_length,
+                                  hop_length=self.hop,
+                                  n_mels=self.cfg.model_params.n_mels)
+        return SE.apply(params["style_encoder"], mel)
+
+    def _phase1_impl(self, params, tokens, mask, s):
+        """tokens (B, Tb) -> (t_en, d, durations). reference inference.py:239-246."""
+        t_en = TE.apply(params["text_encoder"], tokens, mask)
+        d = PR.encode_duration(params["predictor"], t_en, s, mask)
+        dur_logits = PR.duration_head(params["predictor"], d, mask)
+        duration = jax.nn.sigmoid(dur_logits).sum(axis=-1)
+        duration = jnp.where(mask, duration, 0.0)
+        return t_en, d, duration
+
+    def _phase2_impl(self, params, t_en, d, s, durs, n_frames: int):
+        """durations -> alignment -> F0/N -> vocoder. reference
+        inference.py:258-270."""
+        align = ALN.build_alignment(durs, n_frames)  # (B, Tb, Fb)
+        total = durs.sum(axis=1)
+        frame_mask = jnp.arange(n_frames)[None, :] < total[:, None]
+        mel_mask = jnp.repeat(frame_mask, 2, axis=1)
+
+        align_t = jnp.swapaxes(align, 1, 2)  # (B, Fb, Tb)
+        en = jnp.matmul(align_t, d, precision=L._prec(d))
+        f0, n_en = PR.f0n_train(params["predictor"], en, s,
+                                mask=frame_mask, out_mask=mel_mask)
+        asr = jnp.matmul(align_t, t_en, precision=L._prec(t_en))
+
+        dt = self.dtype
+        wav = DE.decoder_apply(params["decoder"], self.cfg.model_params.decoder,
+                               asr.astype(dt), f0.astype(jnp.float32),
+                               n_en.astype(jnp.float32), s.astype(dt),
+                               rng=None, train=False, frame_mask=frame_mask)
+        return wav[..., 0].astype(jnp.float32)
+
+    # ------------------------------------------------------------------
+    # style computation (reference inference.py:176-222, 274-301)
+    # ------------------------------------------------------------------
+
+    def compute_style(self, path_or_wave, denoise: float = 0.3,
+                      split_dur: int = 3) -> jnp.ndarray:
+        denoise = min(denoise, 1.0)
+        if split_dur != 0:
+            split_dur = max(int(split_dur), 1)
+        sr = self.sr
+        max_samples = sr * 20  # cap 20 s (inference.py:180)
+
+        if isinstance(path_or_wave, str):
+            wave, in_sr = AUD.read_wav(path_or_wave)
+            wave = AUD.resample(wave, in_sr, sr)
+        else:
+            wave = np.asarray(path_or_wave, dtype=np.float32)
+        audio, _ = AUD.trim_silence(wave, top_db=30)
+        if len(audio) > max_samples:
+            audio = audio[:max_samples]
+        if denoise > 0.0:
+            audio = AUD.maybe_denoise(audio, sr, denoise)
+
+        if split_dur > 0 and len(audio) / sr >= 4:
+            jump = sr * split_dur
+            n_full = len(audio) // jump
+            chunks = audio[: n_full * jump].reshape(n_full, jump)
+            styles = self._style_fn(self.params, jnp.asarray(chunks))
+            ref_s = styles.sum(axis=0, keepdims=True)
+            count = n_full
+            left = len(audio) - n_full * jump
+            if left >= sr:  # leftover >= 1 s counts (inference.py:207-212)
+                secs = left // sr
+                tail = audio[n_full * jump: n_full * jump + secs * sr]
+                ref_s = ref_s + self._style_fn(self.params,
+                                               jnp.asarray(tail[None]))
+                count += 1
+            return ref_s / count
+        secs = max(1, len(audio) // sr)
+        return self._style_fn(self.params,
+                              jnp.asarray(audio[: secs * sr][None]))
+
+    def get_styles(self, speaker: Dict[str, Any], denoise: float = 0.3,
+                   avg_style: bool = True, load_styles: bool = False
+                   ) -> Dict[str, Any]:
+        if not load_styles:
+            split_dur = 3 if avg_style else 0
+            self.ref_s = self.compute_style(speaker["path"], denoise,
+                                            split_dur)
+        elif self.ref_s is None:
+            raise RuntimeError("Have to compute or load the styles first!")
+        return {"style": self.ref_s, "path": speaker.get("path"),
+                "speed": speaker.get("speed", 1.0)}
+
+    def save_styles(self, save_path: str) -> None:
+        if self.ref_s is None:
+            raise RuntimeError("Have to compute the styles before saving.")
+        np.save(save_path, np.asarray(self.ref_s))
+        print("Saved styles!")
+
+    def load_styles(self, save_path: str) -> None:
+        self.ref_s = jnp.asarray(np.load(save_path))
+        print("Loaded styles!")
+
+    # ------------------------------------------------------------------
+    # synthesis (reference inference.py:224-272, 303-319)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _replace_outliers_zscore(x: np.ndarray, threshold: float = 3.0,
+                                 factor: float = 0.95) -> np.ndarray:
+        """reference inference.py:134-148."""
+        mean, std = x.mean(), x.std()
+        if std == 0:
+            return x
+        z = (x - mean) / std
+        out = np.abs(z) > threshold
+        sign = np.sign(x - mean)
+        repl = mean + sign * (threshold * std * factor)
+        y = x.copy()
+        y[out] = repl[out]
+        return y
+
+    def _postprocess_durations(self, duration: np.ndarray, speed: float,
+                               prev_d_mean: float, t: float
+                               ) -> Tuple[np.ndarray, int, float]:
+        """Host duration glue: stabilization blend, outlier clamp, speed,
+        rounding, overflow compression (reference inference.py:248-263)."""
+        if self.fixed_duration is not None:
+            duration = np.full(len(duration), float(self.fixed_duration),
+                               np.float32)
+            t = 0.0
+        if t > 0:  # stochastic rate stabilization (inference.py:248-252)
+            mean = prev_d_mean if prev_d_mean != 0 else duration.mean()
+            dur_stats = self._rng.normal(mean, duration.std(),
+                                         size=duration.shape)
+            duration = duration * (1 - t) + dur_stats * t
+        duration = np.array(duration)
+        duration[1:-2] = self._replace_outliers_zscore(duration[1:-2])
+        duration = duration / min(max(speed, 1e-4), 2.0)
+        new_d_mean = float(duration.mean())
+
+        pred_dur = np.clip(np.round(duration), 1, None).astype(np.int32)
+        total = int(pred_dur.sum())
+        max_frames = self.cfg.tpu.frame_buckets[-1]
+        if total > max_frames:
+            # graceful overflow: proportionally compress durations into the
+            # largest compiled bucket (a speed-up on this chunk) instead of
+            # failing; raise frame_buckets to avoid this.
+            print(f"styletts2_tpu: chunk needs {total} frames > largest "
+                  f"bucket {max_frames}; compressing durations")
+            pred_dur = np.maximum(
+                (pred_dur * (max_frames / total)).astype(np.int32), 1)
+            while int(pred_dur.sum()) > max_frames:
+                pred_dur[np.argmax(pred_dur)] -= 1
+            total = int(pred_dur.sum())
+        return pred_dur, total, new_d_mean
+
+    def _synthesize_chunk(self, sentence: str, ref_s, speed: float = 1.0,
+                          prev_d_mean: float = 0.0, t: float = 0.1
+                          ) -> Tuple[np.ndarray, float]:
+        """Single-chunk synthesis (reference inference.py:224-272)."""
+        wavs, means = self._synthesize_chunks([sentence], ref_s, speed,
+                                              prev_d_mean, t)
+        return wavs[0], means[-1]
+
+    def _synthesize_chunks(self, sentences: List[str], ref_s,
+                           speed: float, prev_d_mean: float, t: float
+                           ) -> Tuple[List[np.ndarray], List[float]]:
+        """Pipelined multi-chunk synthesis.
+
+        All phase-1 calls are dispatched asynchronously, durations come back
+        in one host sync (the sequential rate-stabilization chain is
+        host-side anyway), then all phase-2 calls are dispatched before any
+        waveform is fetched — so the TPU queue never drains while the host
+        does duration glue. Results are identical to the reference's
+        sequential per-sentence loop (inference.py:303-319)."""
+        s = jnp.asarray(ref_s)
+
+        # wave 1: dispatch phase-1 for every chunk
+        stage1 = []
+        for sentence in sentences:
+            toks = tokens_for_sentence(sentence, self.cleaner)
+            n = len(toks)
+            tb = _bucket(self.cfg.tpu.token_buckets, n)
+            tokens = np.zeros((1, tb), np.int32)
+            tokens[0, :n] = toks
+            mask = np.zeros((1, tb), bool)
+            mask[0, :n] = True
+            t_en, d, duration_dev = self._phase1(
+                self.params, jnp.asarray(tokens), jnp.asarray(mask), s)
+            stage1.append((n, tb, t_en, d, duration_dev))
+
+        # host sync: duration chain (order-dependent via prev_d_mean)
+        stage2 = []
+        means: List[float] = []
+        for n, tb, t_en, d, duration_dev in stage1:
+            duration = np.array(duration_dev)[0, :n]
+            pred_dur, total, prev_d_mean = self._postprocess_durations(
+                duration, speed, prev_d_mean, t)
+            means.append(prev_d_mean)
+            fb = _bucket(self.cfg.tpu.frame_buckets, total)
+            durs = np.zeros((1, tb), np.int32)
+            durs[0, :n] = pred_dur
+            wav_dev = self._phase2(self.params, t_en, d, s,
+                                   jnp.asarray(durs), n_frames=fb)
+            stage2.append((wav_dev, total))
+
+        # final sync: fetch + slice
+        wavs = [np.asarray(w)[0, : total * 2 * self.hop]
+                for w, total in stage2]
+        return wavs, means
+
+    def generate(self, phonem: str, style: Dict[str, Any],
+                 stabilize: bool = True, n_merge: int = 16) -> np.ndarray:
+        """Long-form synthesis with sentence chunking + rate stabilization
+        (reference inference.py:303-319)."""
+        smooth = 0.2 if stabilize else 0.0
+        chunks = split_into_chunks(phonem, n_merge=n_merge)
+        if not chunks:
+            return np.zeros(8000, np.float32)
+        wavs, _ = self._synthesize_chunks(chunks, style["style"],
+                                          style.get("speed", 1.0), 0.0,
+                                          smooth)
+        out = np.concatenate([w[4000:-4000] for w in wavs])
+        return np.concatenate([np.zeros(4000, np.float32), out,
+                               np.zeros(4000, np.float32)])
+
+    # ------------------------------------------------------------------
+
+    def warmup(self, token_buckets=None, frame_buckets=None,
+               style_seconds=(1, 3)) -> None:
+        """Precompile the jitted graphs for the given buckets."""
+        s = jnp.zeros((1, self.cfg.model_params.style_dim), jnp.float32)
+        for sec in style_seconds:
+            self._style_fn(self.params, jnp.zeros((1, sec * self.sr)))
+        for tb in token_buckets or self.cfg.tpu.token_buckets[:2]:
+            tokens = jnp.zeros((1, tb), jnp.int32)
+            mask = jnp.ones((1, tb), bool)
+            t_en, d, dur = self._phase1(self.params, tokens, mask, s)
+            for fbk in frame_buckets or self.cfg.tpu.frame_buckets[:2]:
+                durs = jnp.ones((1, tb), jnp.int32)
+                self._phase2(self.params, t_en, d, s, durs, n_frames=fbk)

@@ -30,6 +30,12 @@ def init(key, dim_in: int = 64, style_dim: int = 128, max_conv_dim: int = 512):
 def apply(p, mel: jnp.ndarray) -> jnp.ndarray:
     """mel: (B, n_mels, T) normalized log-mel -> style (B, style_dim).
 
+    T must be >= 66 frames (~0.8 s): four 'half' downsamples then a 5x5
+    VALID conv need ceil(T/16) >= 5, or the global pool averages an empty
+    tensor (NaN). The reference has the same constraint; its data pipeline
+    guarantees it by padding 0.5 s of silence on each side
+    (meldataset.py:111).
+
     No masking: the reference computes styles on exact-length (or batch
     zero-padded) mels (train.py:228, inference.py:203-220); we keep identical
     semantics and compute styles on exact-length inputs host-side."""

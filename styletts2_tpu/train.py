@@ -1,0 +1,311 @@
+"""Training: the full StyleTTS2-lite finetune step, jitted, data-parallel.
+
+Parity: reference train.py:184-357 (the hot loop), redesigned TPU-first:
+
+* the whole D-step + G-step is ONE jitted function (the reference runs ~15
+  separate CUDA kernels launches + a CPU Cython round trip per step);
+* monotonic alignment runs on-device (ops/align.py);
+* per-sample python loops (random crops train.py:241-250, duration/CE losses
+  train.py:286-304) become vmapped dynamic slices / masked batched forms;
+* mel spectrograms are computed on-device from the padded waveforms instead
+  of in CPU dataloader workers;
+* the 50% soft/mono attention coin, SineGen phase noise and crop offsets all
+  come from an explicit PRNG key;
+* GAN ordering preserved: D updates on detached audio first, then the
+  generator loss is computed against the UPDATED discriminators
+  (train.py:272-328);
+* module training modes match the reference exactly (train.py:190-196):
+  text_aligner/text_encoder/predictor train (dropout on), decoder and
+  style_encoder eval, pitch_extractor frozen.
+
+Data parallelism: `make_parallel_train_step` shards the batch over a 1-D
+device mesh ('dp'); params/opt-states are replicated and XLA turns the
+gradient reduction into ICI all-reduces (the reference's DataParallel
+scatter/gather, train.py:24-29, redesigned as SPMD).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from styletts2_tpu.config import Config, LossParams, ModelConfig
+from styletts2_tpu import losses as LO
+from styletts2_tpu.nn import asr as ASR
+from styletts2_tpu.nn import decoder as DE
+from styletts2_tpu.nn import jdc as JDC
+from styletts2_tpu.nn import layers as L
+from styletts2_tpu.nn import predictor as PR
+from styletts2_tpu.nn import style_encoder as SE
+from styletts2_tpu.nn import text_encoder as TE
+from styletts2_tpu.ops import align as ALN
+from styletts2_tpu.ops import stft as OPS
+
+GEN_MODULES = ("predictor", "style_encoder", "decoder", "text_encoder",
+               "text_aligner")
+DISC_MODULES = ("msd", "mpd")
+
+
+class Batch(NamedTuple):
+    """One padded training batch (static shapes per bucket)."""
+    waves: jnp.ndarray          # (B, L_wav) float32, includes 0.5 s pads
+    texts: jnp.ndarray          # (B, T_text) int32
+    input_lengths: jnp.ndarray  # (B,) int32 text lengths
+    mel_lengths: jnp.ndarray    # (B,) int32 mel frame counts (even)
+
+
+def _smooth_l1(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """F.smooth_l1_loss (beta=1) parity."""
+    d = jnp.abs(x - y)
+    return jnp.mean(jnp.where(d < 1.0, 0.5 * d * d, d - 0.5))
+
+
+def compute_mels(waves: jnp.ndarray, cfg: ModelConfig,
+                 sp) -> jnp.ndarray:
+    """(B, L) padded waveforms -> (B, n_mels, T) normalized log-mels,
+    truncated to an even frame count (reference meldataset.py:93-97)."""
+    mel = OPS.preprocess_wave(waves, sr=24000, n_fft=sp.n_fft,
+                              win_length=sp.win_length,
+                              hop_length=sp.hop_length, n_mels=cfg.n_mels)
+    t = mel.shape[-1]
+    return mel[..., : t - t % 2]
+
+
+def generator_forward(params: Dict[str, Any], batch: Batch, mels: jnp.ndarray,
+                      rng, cfg: ModelConfig, crop_frames: int,
+                      train: bool = True):
+    """Shared generator-side forward (reference train.py:202-267).
+
+    crop_frames: static per-bucket crop size at the half-mel rate
+    (the reference's mel_len, train.py:235).
+    Returns (y_rec, wav_crop, aux dict of intermediates for the losses)."""
+    b = mels.shape[0]
+    t_mel = mels.shape[-1]
+    l_half = t_mel // 2
+    t_text = batch.texts.shape[1]
+    keys = jax.random.split(rng, 8)
+
+    mel_half_len = batch.mel_lengths // 2
+    mel_pad_mask = ~L.length_to_valid_mask(mel_half_len, l_half)  # True=pad
+    text_valid = L.length_to_valid_mask(batch.input_lengths, t_text)
+
+    # --- aligner (train mode: random unk masking + dropout) --------------
+    ctc, s2s_pred, s2s_attn_full = ASR.forward(
+        params["text_aligner"], mels, mel_pad_mask, batch.texts,
+        rng=keys[0] if train else None, train=train)
+    # (B, T+1, L) -> drop the sos step -> (B, T, L)  (train.py:206-209)
+    s2s_attn = s2s_attn_full[:, 1:, :]
+
+    mask_st = ALN.mask_from_lens(batch.input_lengths, mel_half_len,
+                                 t_text, l_half)
+    attn_masked = jnp.where(mask_st, s2s_attn, 0.0)
+    s2s_attn_mono = jax.lax.stop_gradient(
+        ALN.maximum_path(attn_masked, batch.input_lengths, mel_half_len))
+
+    # --- text encoding + 50% soft/mono coin (train.py:217-223) -----------
+    t_en = TE.apply(params["text_encoder"], batch.texts, text_valid,
+                    train=train, rng=keys[1] if train else None)
+    coin = jax.random.bernoulli(keys[2]) if train else False
+    attn_use = jnp.where(coin, attn_masked, s2s_attn_mono)
+    asr = jnp.matmul(jnp.swapaxes(attn_use, 1, 2), t_en,
+                     precision=L._prec(t_en))  # (B, L, C)
+
+    d_gt = jax.lax.stop_gradient(s2s_attn_mono.sum(axis=-1))  # (B, T)
+
+    # --- prosody prediction over the full utterance ----------------------
+    s_full = SE.apply(params["style_encoder"], mels)
+    dur_logits, p_feats = PR.forward(params["predictor"], t_en, s_full,
+                                     text_valid, s2s_attn_mono,
+                                     dropout=cfg.dropout, train=train,
+                                     rng=keys[3] if train else None)
+
+    # --- per-sample random crop (train.py:235-256), static size ----------
+    max_start = jnp.maximum(mel_half_len - crop_frames, 0)
+    starts = (jax.random.uniform(keys[4], (b,)) *
+              (max_start + 1).astype(jnp.float32)).astype(jnp.int32)
+    starts = jnp.minimum(starts, max_start)
+
+    def crop(x, start, size):
+        return jax.lax.dynamic_slice_in_dim(x, start, size, axis=0)
+
+    en = jax.vmap(lambda x, st: crop(x, st, crop_frames))(asr, starts)
+    p_en = jax.vmap(lambda x, st: crop(x, st, crop_frames))(p_feats, starts)
+    gt = jax.vmap(lambda x, st: crop(x, st, 2 * crop_frames))(
+        jnp.swapaxes(mels, 1, 2), starts * 2)
+    gt = jnp.swapaxes(gt, 1, 2)  # (B, n_mels, 2*crop)
+    wav = jax.vmap(lambda x, st: crop(x, st, crop_frames * 2 * 300))(
+        batch.waves, starts * 600)
+
+    # --- acoustic targets + synthesis (train.py:258-267) -----------------
+    s_crop = SE.apply(params["style_encoder"], gt)
+    f0_real, _ = JDC.forward(params["pitch_extractor"],
+                             jax.lax.stop_gradient(gt))
+    f0_real = jax.lax.stop_gradient(f0_real)
+    n_real = jax.lax.stop_gradient(OPS.log_norm(gt))
+
+    f0_fake, n_fake = PR.f0n_train(params["predictor"], p_en, s_crop,
+                                   dropout=cfg.dropout, train=train,
+                                   rng=keys[5] if train else None)
+    y_rec = DE.decoder_apply(params["decoder"], cfg.decoder, en, f0_fake,
+                             n_fake, s_crop, rng=keys[6], train=False)
+
+    aux = {
+        "s2s_pred": s2s_pred, "s2s_attn": attn_masked,
+        "s2s_attn_mono": s2s_attn_mono, "d_gt": d_gt,
+        "dur_logits": dur_logits, "f0_real": f0_real, "f0_fake": f0_fake,
+        "n_real": n_real, "n_fake": n_fake,
+    }
+    return y_rec, wav[..., None], aux
+
+
+def generator_losses(params: Dict[str, Any], batch: Batch, mels: jnp.ndarray,
+                     rng, cfg: ModelConfig, lp: LossParams, crop_frames: int,
+                     train: bool = True):
+    """All generator-side losses (train.py:279-315), batched/masked."""
+    y_rec, wav, aux = generator_forward(params, batch, mels, rng, cfg,
+                                        crop_frames, train)
+    b, t_text = batch.texts.shape
+    text_valid = L.length_to_valid_mask(batch.input_lengths, t_text)
+
+    loss_f0 = _smooth_l1(aux["f0_real"], aux["f0_fake"]) / 10.0
+    loss_norm = _smooth_l1(aux["n_real"], aux["n_fake"])
+
+    loss_mel = LO.multi_resolution_stft_loss(y_rec[..., 0], wav[..., 0])
+    loss_gen = LO.generator_loss(params["mpd"], params["msd"], wav, y_rec)
+
+    # duration + CE losses (train.py:284-299): masked batched forms.
+    dur_logits = aux["dur_logits"].astype(jnp.float32)  # (B, T, max_dur)
+    d_gt = aux["d_gt"]
+    trg = (jnp.arange(dur_logits.shape[-1])[None, None, :]
+           < d_gt[..., None]).astype(jnp.float32)
+    bce = jnp.maximum(dur_logits, 0) - dur_logits * trg + \
+        jnp.log1p(jnp.exp(-jnp.abs(dur_logits)))
+    valid3 = text_valid[..., None]
+    per_sample_ce = (bce * valid3).sum(axis=(1, 2)) / (
+        jnp.maximum(text_valid.sum(axis=1), 1) * dur_logits.shape[-1])
+    loss_ce = per_sample_ce.sum() / b
+
+    dur_pred = jax.nn.sigmoid(dur_logits).sum(axis=-1)
+    inner = text_valid & (jnp.arange(t_text)[None, :] >= 1) & \
+        (jnp.arange(t_text)[None, :] < (batch.input_lengths - 1)[:, None])
+    per_sample_dur = (jnp.abs(dur_pred - d_gt) * inner).sum(axis=1) / \
+        jnp.maximum(inner.sum(axis=1), 1)
+    loss_dur = per_sample_dur.sum() / b
+
+    # aligner s2s CE (train.py:301-304): first `len` decoder steps
+    logp = jax.nn.log_softmax(aux["s2s_pred"].astype(jnp.float32), axis=-1)
+    steps = logp.shape[1]
+    step_valid = L.length_to_valid_mask(batch.input_lengths, steps)
+    tgt = jnp.pad(batch.texts, ((0, 0), (0, steps - t_text)))
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    per_sample_s2s = (nll * step_valid).sum(axis=1) / \
+        jnp.maximum(step_valid.sum(axis=1), 1)
+    loss_s2s = per_sample_s2s.sum() / b
+
+    loss_mono = jnp.mean(jnp.abs(aux["s2s_attn"]
+                                 - aux["s2s_attn_mono"])) * 10.0
+
+    g_loss = (lp.lambda_mel * loss_mel + lp.lambda_F0 * loss_f0
+              + lp.lambda_ce * loss_ce + lp.lambda_norm * loss_norm
+              + lp.lambda_dur * loss_dur + lp.lambda_gen * loss_gen
+              + lp.lambda_mono * loss_mono + lp.lambda_s2s * loss_s2s)
+    metrics = {"mel": loss_mel, "gen": loss_gen, "ce": loss_ce,
+               "dur": loss_dur, "norm": loss_norm, "f0": loss_f0,
+               "s2s": loss_s2s, "mono": loss_mono}
+    return g_loss, (y_rec, wav, metrics)
+
+
+def make_train_step(cfg: Config, multi_opt, crop_frames: Optional[int] = None):
+    """Build the jitted alternating D/G train step."""
+    mp = cfg.model_params
+    lp = cfg.loss_params
+    sp = cfg.preprocess_params.spect_params
+    crop = crop_frames if crop_frames is not None else cfg.max_len // 2
+    # the cropped-gt style encoder needs >= 66 mel frames (see
+    # style_encoder.apply); 2*crop is the gt mel length
+    assert crop * 2 >= 66, f"max_len/crop too small: gt mels {2*crop} < 66"
+
+    def train_step(params: Dict[str, Any], opt_states: Dict[str, Any],
+                   batch: Batch, rng):
+        k_fwd, k_coin = jax.random.split(rng)
+        mels = compute_mels(batch.waves, mp, sp)
+
+        # ---- D step on detached audio (train.py:272-276) ----------------
+        y_rec, wav, _ = generator_forward(params, batch, mels, k_fwd, mp,
+                                          crop, train=True)
+        y_rec_d = jax.lax.stop_gradient(y_rec)
+
+        def d_loss_fn(d_params):
+            return LO.discriminator_loss(d_params["mpd"], d_params["msd"],
+                                         wav, y_rec_d)
+
+        d_params = {k: params[k] for k in DISC_MODULES}
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_params)
+        params2 = dict(params)
+        new_states = dict(opt_states)
+        for k in DISC_MODULES:
+            params2[k], new_states[k] = multi_opt.step(
+                k, d_grads[k], opt_states[k], params[k])
+
+        # ---- G step against the UPDATED discriminators ------------------
+        def g_loss_fn(g_params):
+            full = dict(params2)
+            full.update(g_params)
+            return generator_losses(full, batch, mels, k_fwd, mp, lp, crop,
+                                    train=True)
+
+        g_params = {k: params[k] for k in GEN_MODULES}
+        (g_loss, (_, _, metrics)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(g_params)
+        for k in GEN_MODULES:
+            params2[k], new_states[k] = multi_opt.step(
+                k, g_grads[k], new_states[k], params2[k])
+
+        metrics = dict(metrics)
+        metrics["d_loss"] = d_loss
+        metrics["g_loss"] = g_loss
+        return params2, new_states, metrics
+
+    return train_step
+
+
+def make_parallel_train_step(cfg: Config, multi_opt, mesh,
+                             crop_frames: Optional[int] = None):
+    """Shard the batch over mesh axis 'dp'; replicate params/opt state.
+
+    XLA inserts the gradient all-reduce over ICI — the SPMD redesign of the
+    reference's DataParallel (train.py:24-29, SURVEY 2.23)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    step = make_train_step(cfg, multi_opt, crop_frames)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("dp"))
+    batch_sharding = Batch(waves=data, texts=data, input_lengths=data,
+                           mel_lengths=data)
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, batch_sharding, repl),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
+    )
+
+
+def eval_step_fn(cfg: Config):
+    """Validation metrics (reference train.py:363-463): mel/dur/F0 losses
+    with train=False (no dropout, deterministic)."""
+    mp = cfg.model_params
+    lp = cfg.loss_params
+    sp = cfg.preprocess_params.spect_params
+    crop = cfg.max_len // 2
+
+    def eval_step(params, batch: Batch, rng):
+        mels = compute_mels(batch.waves, mp, sp)
+        _, (_, _, metrics) = generator_losses(params, batch, mels, rng, mp,
+                                              lp, crop, train=False)
+        return metrics
+
+    return eval_step

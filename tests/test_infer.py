@@ -1,0 +1,89 @@
+"""Inference engine end-to-end (random weights, CPU, tiny buckets)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from styletts2_tpu.config import load_config
+from styletts2_tpu.infer import StyleTTS2, _bucket
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = load_config({
+        "model_params": {"decoder": {"type": "hifigan"}},
+        "tpu": {"token_buckets": [32, 64],
+                "frame_buckets": [80, 160, 240, 480, 960],
+                "decoder_dtype": "float32"},
+        "debug": False,
+    })
+    return StyleTTS2(cfg, seed=0)
+
+
+def test_bucket_selection():
+    assert _bucket((32, 64, 128), 1) == 32
+    assert _bucket((32, 64, 128), 32) == 32
+    assert _bucket((32, 64, 128), 33) == 64
+    with pytest.raises(ValueError):
+        _bucket((32,), 64)
+
+
+def test_compute_style_shapes(engine):
+    sr = 24000
+    rng = np.random.default_rng(0)
+    # > 4 s -> averaged 3 s windows; < 4 s -> single pass
+    for seconds in (2.5, 7.2):
+        wav = (rng.standard_normal(int(sr * seconds)) * 0.1).astype(np.float32)
+        style = engine.compute_style(wav, denoise=0.0)
+        assert np.asarray(style).shape == (1, 128)
+        assert np.isfinite(np.asarray(style)).all()
+
+
+def test_generate_end_to_end(engine):
+    rng = np.random.default_rng(1)
+    wav_ref = (rng.standard_normal(24000 * 5) * 0.1).astype(np.float32)
+    engine.ref_s = engine.compute_style(wav_ref, denoise=0.0)
+    style = engine.get_styles({"path": None, "speed": 1.0}, load_styles=True)
+
+    out = engine.generate("Hello there. How are you?", style,
+                          stabilize=True, n_merge=2)
+    assert out.ndim == 1 and len(out) > 8000
+    assert np.isfinite(out).all()
+    # silence padding at both ends (reference inference.py:318)
+    assert np.abs(out[:4000]).max() == 0 and np.abs(out[-4000:]).max() == 0
+
+
+def test_generate_deterministic_without_stabilize(engine):
+    rng = np.random.default_rng(2)
+    wav_ref = (rng.standard_normal(24000 * 3) * 0.1).astype(np.float32)
+    engine.ref_s = engine.compute_style(wav_ref, denoise=0.0)
+    style = engine.get_styles({"path": None, "speed": 1.0}, load_styles=True)
+    a = engine.generate("one two three", style, stabilize=False, n_merge=1)
+    b = engine.generate("one two three", style, stabilize=False, n_merge=1)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_speed_control(engine):
+    rng = np.random.default_rng(3)
+    wav_ref = (rng.standard_normal(24000 * 3) * 0.1).astype(np.float32)
+    engine.ref_s = engine.compute_style(wav_ref, denoise=0.0)
+    slow = engine.generate("some words to say here",
+                           {"style": engine.ref_s, "speed": 0.5},
+                           stabilize=False, n_merge=1)
+    fast = engine.generate("some words to say here",
+                           {"style": engine.ref_s, "speed": 2.0},
+                           stabilize=False, n_merge=1)
+    assert len(slow) > len(fast)
+
+
+def test_save_load_styles(engine, tmp_path):
+    rng = np.random.default_rng(4)
+    wav_ref = (rng.standard_normal(24000 * 3) * 0.1).astype(np.float32)
+    engine.ref_s = engine.compute_style(wav_ref, denoise=0.0)
+    p = str(tmp_path / "style.npy")
+    engine.save_styles(p)
+    before = np.asarray(engine.ref_s).copy()
+    engine.ref_s = None
+    engine.load_styles(p)
+    np.testing.assert_array_equal(np.asarray(engine.ref_s), before)
