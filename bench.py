@@ -53,11 +53,16 @@ def main():
 
     utterance = ("the quick brown fox jumps over the lazy sleeping dog")
     long_text = " ".join(["this is sentence number %d of the benchmark "
-                          "paragraph." % i for i in range(6)])
+                          "paragraph, with a few more words added." % i
+                          for i in range(12)])
+    # long-form synthesis merges sentences into ~10 s chunks: larger frame
+    # buckets amortize fixed per-call cost (the reference's n_merge knob,
+    # inference.py:303)
+    merge_long = 32
 
     # warmup/compile: one short + one long call populates the bucket caches
     engine.generate(utterance, style, stabilize=False, n_merge=16)
-    engine.generate(long_text, style, stabilize=False, n_merge=16)
+    engine.generate(long_text, style, stabilize=False, n_merge=merge_long)
 
     # p50 utterance latency (10-word utterance)
     lat = []
@@ -70,10 +75,11 @@ def main():
 
     # sustained single-stream throughput on long-form text
     t0 = time.perf_counter()
-    reps = 5
+    reps = 8
     total_audio = 0.0
     for _ in range(reps):
-        w = engine.generate(long_text, style, stabilize=False, n_merge=16)
+        w = engine.generate(long_text, style, stabilize=False,
+                            n_merge=merge_long)
         total_audio += (len(w) - 8000) / 24000.0
     wall = time.perf_counter() - t0
     inv_rtf = total_audio / wall

@@ -72,17 +72,20 @@ def module_to_tree(torch_module) -> Dict[str, Any]:
 
 def fuse_weight_norm(tree):
     """Pre-merge weight-norm (weight_g, weight_v) pairs into plain weights
-    for inference: w = g * v / ||v|| computed once instead of per call."""
-    import jax.numpy as jnp
+    for inference: w = g * v / ||v|| computed once instead of per call.
 
+    Computed in host numpy: doing this eagerly in jnp dispatches hundreds of
+    tiny ops to the accelerator (minutes over a tunneled TPU)."""
     if not isinstance(tree, Mapping):
         return tree
     if "weight_v" in tree:
-        from styletts2_tpu.nn.layers import weight_norm_merge
-
-        fused = {"weight": weight_norm_merge(tree)}
-        for k, v in tree.items():
+        v = np.asarray(tree["weight_v"], dtype=np.float32)
+        g = np.asarray(tree["weight_g"], dtype=np.float32)
+        axes = tuple(range(1, v.ndim))
+        norm = np.sqrt(np.sum(v * v, axis=axes, keepdims=True))
+        fused = {"weight": g * v / norm}  # numpy; device_put happens in bulk
+        for k, val in tree.items():
             if k not in ("weight_v", "weight_g"):
-                fused[k] = v
+                fused[k] = val
         return fused
     return {k: fuse_weight_norm(v) for k, v in tree.items()}

@@ -89,6 +89,9 @@ class StyleTTS2:
                 params = fresh  # random weights (benching / smoke tests)
         params = {k: params[k] for k in INFERENCE_MODULES}
         params = fuse_weight_norm(params)
+        # one bulk host->device transfer (per-tensor transfers over a
+        # tunneled TPU cost minutes)
+        params = jax.device_put(params)
 
         self.dtype = jnp.bfloat16 if (decoder_dtype or
                                       self.cfg.tpu.decoder_dtype) == "bfloat16" \
@@ -140,7 +143,10 @@ class StyleTTS2:
                                asr.astype(dt), f0.astype(jnp.float32),
                                n_en.astype(jnp.float32), s.astype(dt),
                                rng=None, train=False, frame_mask=frame_mask)
-        return wav[..., 0].astype(jnp.float32)
+        # ship int16 PCM to the host: half the bytes of f32 over the
+        # interconnect, and the audio is headed for 16-bit output anyway
+        pcm = jnp.clip(wav[..., 0].astype(jnp.float32), -1.0, 1.0) * 32767.0
+        return pcm.astype(jnp.int16)
 
     # ------------------------------------------------------------------
     # style computation (reference inference.py:176-222, 274-301)
@@ -281,6 +287,25 @@ class StyleTTS2:
         sequential per-sentence loop (inference.py:303-319)."""
         s = jnp.asarray(ref_s)
 
+        # split any chunk whose token count exceeds the largest compiled
+        # bucket (the reference has no limit — dynamic shapes; we split on
+        # word boundaries instead, which long-form chunking makes rare)
+        max_tokens = self.cfg.tpu.token_buckets[-1]
+        work: List[str] = []
+        for sentence in sentences:
+            parts = [sentence]
+            while parts:
+                part = parts.pop(0)
+                if len(self.cleaner(part)) + 2 <= max_tokens or \
+                        len(part.split()) <= 1:
+                    work.append(part)
+                else:
+                    words = part.split()
+                    half = len(words) // 2
+                    parts = [" ".join(words[:half]),
+                             " ".join(words[half:])] + parts
+        sentences = work
+
         # wave 1: dispatch phase-1 for every chunk
         stage1 = []
         for sentence in sentences:
@@ -310,8 +335,9 @@ class StyleTTS2:
                                    jnp.asarray(durs), n_frames=fb)
             stage2.append((wav_dev, total))
 
-        # final sync: fetch + slice
+        # final sync: fetch + slice (+ int16 -> float32 on host)
         wavs = [np.asarray(w)[0, : total * 2 * self.hop]
+                .astype(np.float32) / 32767.0
                 for w, total in stage2]
         return wavs, means
 

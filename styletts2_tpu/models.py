@@ -17,9 +17,19 @@ from styletts2_tpu.nn import (asr, decoder, discriminators, jdc, predictor,
 
 
 def build_model(key, args: ModelConfig) -> Dict[str, Any]:
-    """Returns {module_key: param_tree} for all 8 modules."""
+    """Returns {module_key: param_tree} for all 8 modules.
+
+    Initialization runs on the host CPU backend: the init functions are
+    eager per-tensor ops, and dispatching hundreds of them to a remote TPU
+    (axon tunnel) costs minutes. The caller moves params to the accelerator
+    implicitly on first jitted use (or explicitly via jax.device_put)."""
     assert args.decoder.type in ("istftnet", "hifigan", "vocos"), \
         "Decoder type unknown"
+    with jax.default_device(jax.devices("cpu")[0]):
+        return _build_model(key, args)
+
+
+def _build_model(key, args: ModelConfig) -> Dict[str, Any]:
     keys = jax.random.split(key, 8)
     return {
         "decoder": decoder.decoder_init(keys[0], args.decoder,

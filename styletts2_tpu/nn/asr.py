@@ -17,6 +17,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from styletts2_tpu.nn import layers as L
 from styletts2_tpu.ops import stft as OPS
@@ -34,11 +35,10 @@ def _conv_norm_init(key, in_ch, out_ch, k=1, w_init_gain="linear",
     fan_in, fan_out = in_ch * k, out_ch * k
     bound = gain * math.sqrt(6.0 / (fan_in + fan_out))
     p = {"conv": {
-        "weight": jax.random.uniform(kw, (out_ch, in_ch, k), jnp.float32,
-                                     -bound, bound),
+        "weight": L._uniform(kw, (out_ch, in_ch, k), -bound, bound),
     }}
     if bias:
-        p["conv"]["bias"] = jnp.zeros((out_ch,), jnp.float32)
+        p["conv"]["bias"] = np.zeros((out_ch,), np.float32)
     return p
 
 
@@ -127,8 +127,8 @@ def asr_s2s_init(key, embedding_dim: int = 512, hidden_dim: int = 128,
     keys = jax.random.split(key, 5)
     val_range = math.sqrt(6.0 / hidden_dim)
     return {
-        "embedding": {"weight": jax.random.uniform(
-            keys[0], (n_token, embedding_dim), jnp.float32, -val_range, val_range)},
+        "embedding": {"weight": L._uniform(
+            keys[0], (n_token, embedding_dim), -val_range, val_range)},
         "project_to_n_symbols": L.torch_linear_init(keys[1], hidden_dim, n_token),
         "attention_layer": attention_init(keys[2], hidden_dim, hidden_dim,
                                           hidden_dim, n_filters, kernel),

@@ -14,6 +14,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from styletts2_tpu.nn import layers as L
 
@@ -167,9 +168,9 @@ def adain_res_block1_init(key, channels: int, kernel_size: int = 3,
                    for i in range(n)},
         "adain2": {str(i): L.adain_1d_init(keys[3 * n + i], style_dim, channels)
                    for i in range(n)},
-        "alpha1": {str(i): jnp.ones((1, channels, 1), jnp.float32)
+        "alpha1": {str(i): np.ones((1, channels, 1), np.float32)
                    for i in range(n)},
-        "alpha2": {str(i): jnp.ones((1, channels, 1), jnp.float32)
+        "alpha2": {str(i): np.ones((1, channels, 1), np.float32)
                    for i in range(n)},
     }
     return p

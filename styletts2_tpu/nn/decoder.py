@@ -112,7 +112,7 @@ def hifigan_generator_init(key, cfg: DecoderConfig, style_dim: int = 128):
     p = {
         "m_source": source_module_init(keys[next(ki)]),
         "ups": {}, "noise_convs": {}, "noise_res": {}, "resblocks": {},
-        "alphas": {"0": jnp.ones((1, c0, 1), jnp.float32)},
+        "alphas": {"0": np.ones((1, c0, 1), np.float32)},
     }
     for i, (u, k) in enumerate(zip(rates, kernels)):
         c_in = c0 // (2 ** i)
@@ -129,7 +129,7 @@ def hifigan_generator_init(key, cfg: DecoderConfig, style_dim: int = 128):
             p["noise_convs"][str(i)] = L.conv1d_init(keys[next(ki)], 1, c_cur, 1)
             p["noise_res"][str(i)] = B.adain_res_block1_init(
                 keys[next(ki)], c_cur, 11, (1, 3, 5), style_dim)
-        p["alphas"][str(i + 1)] = jnp.ones((1, c_cur, 1), jnp.float32)
+        p["alphas"][str(i + 1)] = np.ones((1, c_cur, 1), np.float32)
         for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes,
                                          cfg.resblock_dilation_sizes)):
             p["resblocks"][str(i * len(cfg.resblock_kernel_sizes) + j)] = (

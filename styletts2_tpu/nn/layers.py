@@ -26,6 +26,25 @@ import numpy as np
 _F32 = jax.lax.Precision.HIGHEST
 
 
+def _np_rng(key) -> np.random.Generator:
+    """jax PRNG key -> deterministic numpy Generator.
+
+    Init-time sampling uses numpy: each eager jax.random op with a distinct
+    shape compiles its own executable (build_model took ~2 minutes in jax,
+    <1 s in numpy). Param trees therefore hold numpy leaves until the first
+    jitted use (or an explicit device_put) — a single bulk transfer."""
+    data = np.asarray(jax.random.key_data(key)).ravel()
+    return np.random.default_rng([int(x) for x in data])
+
+
+def _uniform(key, shape, lo: float, hi: float) -> np.ndarray:
+    return _np_rng(key).uniform(lo, hi, shape).astype(np.float32)
+
+
+def _normal(key, shape, std: float = 1.0) -> np.ndarray:
+    return (_np_rng(key).standard_normal(shape) * std).astype(np.float32)
+
+
 def _prec(x: jnp.ndarray):
     """f32 inputs get true-f32 math; low precision dtypes use the default."""
     return _F32 if x.dtype == jnp.float32 else None
@@ -59,10 +78,9 @@ def linear_init(key, in_dim: int, out_dim: int, bias: bool = True,
     """LinearNorm parity (reference models.py:152-162): xavier-uniform."""
     gain = {"linear": 1.0, "tanh": 5.0 / 3.0, "relu": math.sqrt(2.0)}[w_init_gain]
     bound = gain * math.sqrt(6.0 / (in_dim + out_dim))
-    p = {"weight": jax.random.uniform(key, (out_dim, in_dim), jnp.float32,
-                                      -bound, bound)}
+    p = {"weight": _uniform(key, (out_dim, in_dim), -bound, bound)}
     if bias:
-        p["bias"] = jnp.zeros((out_dim,), jnp.float32)
+        p["bias"] = np.zeros((out_dim,), np.float32)
     return p
 
 
@@ -70,10 +88,9 @@ def torch_linear_init(key, in_dim: int, out_dim: int, bias: bool = True):
     """torch.nn.Linear default init (kaiming uniform a=sqrt(5) + fan-in bias)."""
     kw, kb = jax.random.split(key)
     bound = 1.0 / math.sqrt(in_dim)
-    p = {"weight": jax.random.uniform(kw, (out_dim, in_dim), jnp.float32,
-                                      -bound, bound)}
+    p = {"weight": _uniform(kw, (out_dim, in_dim), -bound, bound)}
     if bias:
-        p["bias"] = jax.random.uniform(kb, (out_dim,), jnp.float32, -bound, bound)
+        p["bias"] = _uniform(kb, (out_dim,), -bound, bound)
     return p
 
 
@@ -86,7 +103,7 @@ def linear_apply(p, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def embedding_init(key, n: int, dim: int):
-    return {"weight": jax.random.normal(key, (n, dim), jnp.float32)}
+    return {"weight": _normal(key, (n, dim))}
 
 
 def embedding_apply(p, ids: jnp.ndarray) -> jnp.ndarray:
@@ -101,9 +118,9 @@ def embedding_apply(p, ids: jnp.ndarray) -> jnp.ndarray:
 def weight_norm_init(key_or_weight, shape=None):
     """Split a torch-layout weight into (weight_g, weight_v) like
     torch.nn.utils.weight_norm(dim=0)."""
-    w = key_or_weight
+    w = np.asarray(key_or_weight)
     reduce_axes = tuple(range(1, w.ndim))
-    g = jnp.sqrt(jnp.sum(w * w, axis=reduce_axes, keepdims=True))
+    g = np.sqrt(np.sum(w * w, axis=reduce_axes, keepdims=True)).astype(w.dtype)
     return {"weight_g": g, "weight_v": w}
 
 
@@ -134,11 +151,10 @@ def conv1d_init(key, in_ch: int, out_ch: int, k: int, groups: int = 1,
     kw, kb = jax.random.split(key)
     fan_in = in_ch // groups * k
     bound = 1.0 / math.sqrt(fan_in)
-    w = jax.random.uniform(kw, (out_ch, in_ch // groups, k), jnp.float32,
-                           -bound, bound)
+    w = _uniform(kw, (out_ch, in_ch // groups, k), -bound, bound)
     p = weight_norm_init(w) if weight_norm else {"weight": w}
     if bias:
-        p["bias"] = jax.random.uniform(kb, (out_ch,), jnp.float32, -bound, bound)
+        p["bias"] = _uniform(kb, (out_ch,), -bound, bound)
     return p
 
 
@@ -162,11 +178,10 @@ def conv_transpose1d_init(key, in_ch: int, out_ch: int, k: int, groups: int = 1,
     kw, kb = jax.random.split(key)
     fan_in = out_ch // groups * k  # torch uses weight.size(1)*k for transposed
     bound = 1.0 / math.sqrt(fan_in)
-    w = jax.random.uniform(kw, (in_ch, out_ch // groups, k), jnp.float32,
-                           -bound, bound)
+    w = _uniform(kw, (in_ch, out_ch // groups, k), -bound, bound)
     p = weight_norm_init(w) if weight_norm else {"weight": w}
     if bias:
-        p["bias"] = jax.random.uniform(kb, (out_ch,), jnp.float32, -bound, bound)
+        p["bias"] = _uniform(kb, (out_ch,), -bound, bound)
     return p
 
 
@@ -202,11 +217,10 @@ def conv2d_init(key, in_ch: int, out_ch: int, k: Tuple[int, int],
     kh, kw_ = k
     fan_in = in_ch // groups * kh * kw_
     bound = 1.0 / math.sqrt(fan_in)
-    w = jax.random.uniform(kw, (out_ch, in_ch // groups, kh, kw_), jnp.float32,
-                           -bound, bound)
+    w = _uniform(kw, (out_ch, in_ch // groups, kh, kw_), -bound, bound)
     p = weight_norm_init(w) if weight_norm else {"weight": w}
     if bias:
-        p["bias"] = jax.random.uniform(kb, (out_ch,), jnp.float32, -bound, bound)
+        p["bias"] = _uniform(kb, (out_ch,), -bound, bound)
     return p
 
 
@@ -254,8 +268,8 @@ def conv_transpose2d_apply(p, x: jnp.ndarray, stride=(2, 2), padding=(1, 1),
 
 def layer_norm_init(channels: int):
     """reference models.LayerNorm (models.py:224-236): gamma/beta over C."""
-    return {"gamma": jnp.ones((channels,), jnp.float32),
-            "beta": jnp.zeros((channels,), jnp.float32)}
+    return {"gamma": np.ones((channels,), np.float32),
+            "beta": np.zeros((channels,), np.float32)}
 
 
 def layer_norm_apply(p, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
@@ -332,8 +346,8 @@ def ada_layer_norm_apply(p, x: jnp.ndarray, s: jnp.ndarray,
 
 
 def group_norm_init(channels: int):
-    return {"weight": jnp.ones((channels,), jnp.float32),
-            "bias": jnp.zeros((channels,), jnp.float32)}
+    return {"weight": np.ones((channels,), np.float32),
+            "bias": np.zeros((channels,), np.float32)}
 
 
 def group_norm_apply(p, x: jnp.ndarray, num_groups: int,
@@ -349,10 +363,10 @@ def group_norm_apply(p, x: jnp.ndarray, num_groups: int,
 
 
 def batch_norm_init(channels: int):
-    return {"weight": jnp.ones((channels,), jnp.float32),
-            "bias": jnp.zeros((channels,), jnp.float32),
-            "running_mean": jnp.zeros((channels,), jnp.float32),
-            "running_var": jnp.ones((channels,), jnp.float32)}
+    return {"weight": np.ones((channels,), np.float32),
+            "bias": np.zeros((channels,), np.float32),
+            "running_mean": np.zeros((channels,), np.float32),
+            "running_var": np.ones((channels,), np.float32)}
 
 
 def batch_norm_apply(p, x: jnp.ndarray, train: bool = False,
@@ -409,7 +423,7 @@ def lstm_init(key, input_dim: int, hidden: int, bidirectional: bool = True):
         names += [n + "_reverse" for n in names]
         shapes = shapes * 2
     keys = jax.random.split(key, len(names))
-    return {n: jax.random.uniform(k, sh, jnp.float32, -bound, bound)
+    return {n: _uniform(k, sh, -bound, bound)
             for n, k, sh in zip(names, keys, shapes)}
 
 
@@ -456,30 +470,71 @@ def lstm_apply(p, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
 
     x: (B, T, In); mask: (B, T) 1=valid (None = all valid). Output (B, T, H)
     or (B, T, 2H); padded positions are zeroed (pad_packed_sequence parity).
-    """
+
+    TPU latency note: the two directions run in ONE scan by stacking the
+    reversed sequence on the batch axis — T sequential steps instead of 2T
+    (the scan step count dominates inference latency, not its FLOPs)."""
     b, t, _ = x.shape
     hidden = p["weight_hh_l0"].shape[1]
     if mask is None:
         mask = jnp.ones((b, t), bool)
 
-    def direction(suffix: str, xs: jnp.ndarray, ms: jnp.ndarray) -> jnp.ndarray:
+    def in_proj(suffix: str, xs: jnp.ndarray) -> jnp.ndarray:
         w_ih = p["weight_ih_l0" + suffix]
-        w_hh = p["weight_hh_l0" + suffix]
         bias = p["bias_ih_l0" + suffix] + p["bias_hh_l0" + suffix]
         xw = jnp.matmul(xs, w_ih.T.astype(xs.dtype), precision=_prec(xs))
-        xw = xw + bias.astype(xs.dtype)
-        return _lstm_scan(xw, w_hh, ms, hidden)
+        return xw + bias.astype(xs.dtype)
 
-    h_fwd = direction("", x, mask)
     if not bidirectional:
+        h_fwd = _lstm_scan(in_proj("", x), p["weight_hh_l0"], mask, hidden)
         return jnp.where(mask[..., None], h_fwd, 0.0)
+
     # reverse each row within its valid length == flip the padded array and
     # flip back (padding moves to the front; the masked carry handles it).
     x_rev = jnp.flip(x, axis=1)
     m_rev = jnp.flip(mask, axis=1)
-    h_bwd = jnp.flip(direction("_reverse", x_rev, m_rev), axis=1)
+    xw = jnp.concatenate([in_proj("", x), in_proj("_reverse", x_rev)], axis=0)
+    mm = jnp.concatenate([mask, m_rev], axis=0)
+    # block-diagonal recurrent step: rows 0..b-1 use W_hh, rows b..2b-1 use
+    # W_hh_reverse — one scan, fused gates matmul via stacked weights
+    w_hh2 = jnp.stack([p["weight_hh_l0"], p["weight_hh_l0_reverse"]])
+    hs = _lstm_scan_stacked(xw, w_hh2, mm, hidden, b)
+    h_fwd = hs[:b]
+    h_bwd = jnp.flip(hs[b:], axis=1)
     out = jnp.concatenate([h_fwd, h_bwd], axis=-1)
     return jnp.where(mask[..., None], out, 0.0)
+
+
+def _lstm_scan_stacked(xw: jnp.ndarray, w_hh2: jnp.ndarray, mask: jnp.ndarray,
+                       hidden: int, b: int) -> jnp.ndarray:
+    """One scan for both directions: xw (2B, T, 4H), w_hh2 (2, H, 4H-in-T?)
+
+    w_hh2: (2, 4H, H) torch-layout per direction. The recurrent matmul is
+    einsum over per-direction weights (a (2, B, H) x (2, H, 4H) batch
+    matmul — same MXU work as two separate scans, half the steps)."""
+    h0 = jnp.zeros((xw.shape[0], hidden), xw.dtype)
+    c0 = jnp.zeros((xw.shape[0], hidden), jnp.float32)
+    w_t = jnp.swapaxes(w_hh2, 1, 2).astype(xw.dtype)  # (2, H, 4H)
+
+    def step(carry, inp):
+        h_prev, c_prev = carry
+        xw_t, m_t = inp
+        h2 = h_prev.reshape(2, b, hidden)
+        gates = jnp.einsum("dbh,dhg->dbg", h2, w_t,
+                           precision=_prec(h_prev)).reshape(2 * b, 4 * hidden)
+        gates = xw_t + gates
+        gf = gates.astype(jnp.float32)
+        i, f, g, o = jnp.split(gf, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c_prev + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = (jax.nn.sigmoid(o) * jnp.tanh(c)).astype(xw.dtype)
+        m = m_t[:, None]
+        h = jnp.where(m, h, h_prev)
+        c = jnp.where(m, c, c_prev)
+        return (h, c), h
+
+    xs = (jnp.swapaxes(xw, 0, 1), jnp.swapaxes(mask, 0, 1).astype(bool))
+    _, hs = jax.lax.scan(step, (h0, c0), xs)
+    return jnp.swapaxes(hs, 0, 1)  # (2B, T, H)
 
 
 def lstm_cell_init(key, input_dim: int, hidden: int):
@@ -487,10 +542,10 @@ def lstm_cell_init(key, input_dim: int, hidden: int):
     bound = 1.0 / math.sqrt(hidden)
     keys = jax.random.split(key, 4)
     return {
-        "weight_ih": jax.random.uniform(keys[0], (4 * hidden, input_dim), jnp.float32, -bound, bound),
-        "weight_hh": jax.random.uniform(keys[1], (4 * hidden, hidden), jnp.float32, -bound, bound),
-        "bias_ih": jax.random.uniform(keys[2], (4 * hidden,), jnp.float32, -bound, bound),
-        "bias_hh": jax.random.uniform(keys[3], (4 * hidden,), jnp.float32, -bound, bound),
+        "weight_ih": _uniform(keys[0], (4 * hidden, input_dim), -bound, bound),
+        "weight_hh": _uniform(keys[1], (4 * hidden, hidden), -bound, bound),
+        "bias_ih": _uniform(keys[2], (4 * hidden,), -bound, bound),
+        "bias_hh": _uniform(keys[3], (4 * hidden,), -bound, bound),
     }
 
 

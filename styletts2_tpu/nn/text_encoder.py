@@ -21,7 +21,7 @@ def init(key, channels: int = 512, kernel_size: int = 5, depth: int = 3,
          n_symbols: int = 178):
     keys = jax.random.split(key, depth + 2)
     p = {
-        "embedding": {"weight": jax.random.normal(keys[0], (n_symbols, channels))},
+        "embedding": {"weight": L._normal(keys[0], (n_symbols, channels))},
         "cnn": {},
         "lstm": L.lstm_init(keys[1], channels, channels // 2, bidirectional=True),
     }

@@ -10,6 +10,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from styletts2_tpu.config import DecoderConfig
 from styletts2_tpu.nn import layers as L
@@ -24,7 +25,7 @@ def convnext_block_init(key, dim: int, intermediate_dim: int,
         "norm": L.adain_1d_init(keys[1], style_dim, dim),
         "pwconv1": L.torch_linear_init(keys[2], dim, intermediate_dim),
         "pwconv2": L.torch_linear_init(keys[3], intermediate_dim, dim),
-        "gamma": jnp.full((dim,), layer_scale_init_value, jnp.float32),
+        "gamma": np.full((dim,), layer_scale_init_value, np.float32),
     }
 
 
@@ -54,8 +55,8 @@ def vocos_generator_init(key, cfg: DecoderConfig, style_dim: int = 128,
                                                   cfg.intermediate_dim, lsiv,
                                                   style_dim)
                       for i in range(n)},
-         "final_layer_norm": {"weight": jnp.ones((dim,), jnp.float32),
-                              "bias": jnp.zeros((dim,), jnp.float32)},
+         "final_layer_norm": {"weight": np.ones((dim,), np.float32),
+                              "bias": np.zeros((dim,), np.float32)},
          "stft": {"out": L.torch_linear_init(keys[n], dim,
                                              cfg.gen_istft_n_fft + 2)}}
     return p

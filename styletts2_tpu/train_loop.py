@@ -78,8 +78,14 @@ def main(argv=None) -> None:
     from styletts2_tpu.train import (Batch, eval_step_fn,
                                      make_parallel_train_step)
 
+    from styletts2_tpu.profiling import StepTimer, check_finite, trace
+
     ap = argparse.ArgumentParser()
     ap.add_argument("-p", "--config_path", default="configs/config.yaml")
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture a jax.profiler trace of steps 10-15")
+    ap.add_argument("--nan-action", default="raise",
+                    choices=["raise", "skip", "ignore"])
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config_path)
@@ -142,24 +148,29 @@ def main(argv=None) -> None:
 
     rng = jax.random.PRNGKey(1)
     best_loss = float("inf")
+    timer = StepTimer()
 
     for epoch in range(start_epoch, cfg.epochs):
         running_mel = 0.0
         start_time = time.time()
         train_loader.sampler.set_epoch(epoch)
-        last_metrics = None
         for i, (bin_id, nb) in enumerate(train_loader):
             rng, step_key = jax.random.split(rng)
             batch = Batch(waves=jnp.asarray(nb.waves),
                           texts=jnp.asarray(nb.texts),
                           input_lengths=jnp.asarray(nb.input_lengths),
                           mel_lengths=jnp.asarray(nb.mel_lengths))
-            params, opt_states, metrics = train_step(params, opt_states,
-                                                     batch, step_key)
-            last_metrics = metrics
+            profiling = (args.profile_dir and epoch == start_epoch
+                         and 10 <= i < 15)
+            with trace(args.profile_dir if profiling else None):
+                params, opt_states, metrics = train_step(params, opt_states,
+                                                         batch, step_key)
+            timer.tick()
             iters += 1
             if (i + 1) % cfg.log_interval == 0:
                 m = {k: float(v) for k, v in metrics.items()}
+                check_finite(m, iters, args.nan_action)
+                writer.add_scalar("train/step_time_p50", timer.p50, iters)
                 running_mel += m["mel"]
                 logger.info(
                     "Epoch [%d/%d], Step [%d], Mel: %.5f, Disc: %.5f, "
