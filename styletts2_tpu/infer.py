@@ -76,6 +76,10 @@ class StyleTTS2:
         # duration predictor's output) — deterministic latency for
         # benchmarking and load testing
         self.fixed_duration: Optional[int] = None
+        # chunk-batching: same-bucket chunks share one phase-1/phase-2 call;
+        # batch sizes are padded to these compiled sizes
+        self.batch_buckets: Tuple[int, ...] = (1, 2, 4, 8)
+        self.max_batch: int = self.batch_buckets[-1]
 
         if params is None:
             fresh = build_model(jax.random.PRNGKey(seed), mp)
@@ -306,39 +310,81 @@ class StyleTTS2:
                              " ".join(words[half:])] + parts
         sentences = work
 
-        # wave 1: dispatch phase-1 for every chunk
-        stage1 = []
-        for sentence in sentences:
-            toks = tokens_for_sentence(sentence, self.cleaner)
-            n = len(toks)
-            tb = _bucket(self.cfg.tpu.token_buckets, n)
-            tokens = np.zeros((1, tb), np.int32)
-            tokens[0, :n] = toks
-            mask = np.zeros((1, tb), bool)
-            mask[0, :n] = True
-            t_en, d, duration_dev = self._phase1(
-                self.params, jnp.asarray(tokens), jnp.asarray(mask), s)
-            stage1.append((n, tb, t_en, d, duration_dev))
+        n_chunks = len(sentences)
+
+        # wave 1: batch chunks with the same token bucket through ONE
+        # phase-1 call (padding the batch dim to a small set of sizes)
+        tokenized = [tokens_for_sentence(sent, self.cleaner)
+                     for sent in sentences]
+        tbs = [_bucket(self.cfg.tpu.token_buckets, len(tk))
+               for tk in tokenized]
+        by_tb: Dict[int, List[int]] = {}
+        for i, tb in enumerate(tbs):
+            by_tb.setdefault(tb, []).append(i)
+
+        t_en_of = [None] * n_chunks
+        d_of = [None] * n_chunks
+        dur_dev_of = [None] * n_chunks
+        for tb, idxs in by_tb.items():
+            for part in range(0, len(idxs), self.max_batch):
+                group = idxs[part: part + self.max_batch]
+                bb = _bucket(self.batch_buckets, len(group))
+                tokens = np.zeros((bb, tb), np.int32)
+                mask = np.zeros((bb, tb), bool)
+                for row, i in enumerate(group):
+                    tokens[row, : len(tokenized[i])] = tokenized[i]
+                    mask[row, : len(tokenized[i])] = True
+                sb = jnp.broadcast_to(s, (bb,) + s.shape[1:])
+                t_en, d, dur = self._phase1(self.params, jnp.asarray(tokens),
+                                            jnp.asarray(mask), sb)
+                for row, i in enumerate(group):
+                    t_en_of[i] = (t_en, row)
+                    d_of[i] = (d, row)
+                    dur_dev_of[i] = (dur, row)
 
         # host sync: duration chain (order-dependent via prev_d_mean)
-        stage2 = []
         means: List[float] = []
-        for n, tb, t_en, d, duration_dev in stage1:
-            duration = np.array(duration_dev)[0, :n]
+        pred_of = [None] * n_chunks
+        total_of = [0] * n_chunks
+        fb_of = [0] * n_chunks
+        for i in range(n_chunks):
+            dur_dev, row = dur_dev_of[i]
+            duration = np.array(dur_dev)[row, : len(tokenized[i])]
             pred_dur, total, prev_d_mean = self._postprocess_durations(
                 duration, speed, prev_d_mean, t)
             means.append(prev_d_mean)
-            fb = _bucket(self.cfg.tpu.frame_buckets, total)
-            durs = np.zeros((1, tb), np.int32)
-            durs[0, :n] = pred_dur
-            wav_dev = self._phase2(self.params, t_en, d, s,
+            pred_of[i] = pred_dur
+            total_of[i] = total
+            fb_of[i] = _bucket(self.cfg.tpu.frame_buckets, total)
+
+        # wave 2: batch chunks with the same (token, frame) buckets through
+        # ONE phase-2 call
+        by_tf: Dict[Tuple[int, int], List[int]] = {}
+        for i in range(n_chunks):
+            by_tf.setdefault((tbs[i], fb_of[i]), []).append(i)
+
+        wav_dev_of = [None] * n_chunks
+        for (tb, fb), idxs in by_tf.items():
+            for part in range(0, len(idxs), self.max_batch):
+                group = idxs[part: part + self.max_batch]
+                bb = _bucket(self.batch_buckets, len(group))
+                rows = [group[min(r, len(group) - 1)] for r in range(bb)]
+                t_en = jnp.stack([t_en_of[i][0][t_en_of[i][1]] for i in rows])
+                d = jnp.stack([d_of[i][0][d_of[i][1]] for i in rows])
+                durs = np.zeros((bb, tb), np.int32)
+                for row, i in enumerate(rows):
+                    durs[row, : len(pred_of[i])] = pred_of[i]
+                sb = jnp.broadcast_to(s, (bb,) + s.shape[1:])
+                wav = self._phase2(self.params, t_en, d, sb,
                                    jnp.asarray(durs), n_frames=fb)
-            stage2.append((wav_dev, total))
+                for row, i in enumerate(group):
+                    wav_dev_of[i] = (wav, row)
 
         # final sync: fetch + slice (+ int16 -> float32 on host)
-        wavs = [np.asarray(w)[0, : total * 2 * self.hop]
+        wavs = [np.asarray(wav_dev_of[i][0])[wav_dev_of[i][1],
+                                             : total_of[i] * 2 * self.hop]
                 .astype(np.float32) / 32767.0
-                for w, total in stage2]
+                for i in range(n_chunks)]
         return wavs, means
 
     def generate(self, phonem: str, style: Dict[str, Any],

@@ -219,8 +219,17 @@ def generator_losses(params: Dict[str, Any], batch: Batch, mels: jnp.ndarray,
     return g_loss, (y_rec, wav, metrics)
 
 
-def make_train_step(cfg: Config, multi_opt, crop_frames: Optional[int] = None):
-    """Build the jitted alternating D/G train step."""
+def make_step_pair(cfg: Config, multi_opt, crop_frames: Optional[int] = None):
+    """Build the alternating update as TWO functions (d_step, g_step).
+
+    Splitting keeps each compiled executable about half the size of the
+    monolithic step — the full graph (2 generator forwards + a backward +
+    both discriminators + per-module optimizer updates) is ~30 MB of MLIR
+    and OOM-kills constrained compile services. Semantics are identical:
+    d_step updates the discriminators on detached audio, then g_step
+    computes the generator loss against the UPDATED discriminators
+    (reference train.py:272-328 ordering).
+    """
     mp = cfg.model_params
     lp = cfg.loss_params
     sp = cfg.preprocess_params.spect_params
@@ -229,13 +238,10 @@ def make_train_step(cfg: Config, multi_opt, crop_frames: Optional[int] = None):
     # style_encoder.apply); 2*crop is the gt mel length
     assert crop * 2 >= 66, f"max_len/crop too small: gt mels {2*crop} < 66"
 
-    def train_step(params: Dict[str, Any], opt_states: Dict[str, Any],
-                   batch: Batch, rng):
-        k_fwd, k_coin = jax.random.split(rng)
+    def d_step(params: Dict[str, Any], opt_states: Dict[str, Any],
+               batch: Batch, rng):
         mels = compute_mels(batch.waves, mp, sp)
-
-        # ---- D step on detached audio (train.py:272-276) ----------------
-        y_rec, wav, _ = generator_forward(params, batch, mels, k_fwd, mp,
+        y_rec, wav, _ = generator_forward(params, batch, mels, rng, mp,
                                           crop, train=True)
         y_rec_d = jax.lax.stop_gradient(y_rec)
 
@@ -245,30 +251,53 @@ def make_train_step(cfg: Config, multi_opt, crop_frames: Optional[int] = None):
 
         d_params = {k: params[k] for k in DISC_MODULES}
         d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_params)
-        params2 = dict(params)
+        new_params = dict(params)
         new_states = dict(opt_states)
         for k in DISC_MODULES:
-            params2[k], new_states[k] = multi_opt.step(
+            new_params[k], new_states[k] = multi_opt.step(
                 k, d_grads[k], opt_states[k], params[k])
+        return new_params, new_states, d_loss
 
-        # ---- G step against the UPDATED discriminators ------------------
+    def g_step(params: Dict[str, Any], opt_states: Dict[str, Any],
+               batch: Batch, rng):
+        """params must already hold the D-updated mpd/msd. The same rng as
+        d_step reproduces the identical generator forward (the reference
+        computes both losses from one forward)."""
+        mels = compute_mels(batch.waves, mp, sp)
+
         def g_loss_fn(g_params):
-            full = dict(params2)
+            full = dict(params)
             full.update(g_params)
-            return generator_losses(full, batch, mels, k_fwd, mp, lp, crop,
+            return generator_losses(full, batch, mels, rng, mp, lp, crop,
                                     train=True)
 
         g_params = {k: params[k] for k in GEN_MODULES}
         (g_loss, (_, _, metrics)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(g_params)
+        new_params = dict(params)
+        new_states = dict(opt_states)
         for k in GEN_MODULES:
-            params2[k], new_states[k] = multi_opt.step(
-                k, g_grads[k], new_states[k], params2[k])
-
+            new_params[k], new_states[k] = multi_opt.step(
+                k, g_grads[k], opt_states[k], params[k])
         metrics = dict(metrics)
-        metrics["d_loss"] = d_loss
         metrics["g_loss"] = g_loss
-        return params2, new_states, metrics
+        return new_params, new_states, metrics
+
+    return d_step, g_step
+
+
+def make_train_step(cfg: Config, multi_opt, crop_frames: Optional[int] = None):
+    """Single-function alternating D/G step (testing convenience; compiles
+    one large executable — prefer make_step_pair on memory-constrained
+    compile services)."""
+    d_step, g_step = make_step_pair(cfg, multi_opt, crop_frames)
+
+    def train_step(params: Dict[str, Any], opt_states: Dict[str, Any],
+                   batch: Batch, rng):
+        params, opt_states, d_loss = d_step(params, opt_states, batch, rng)
+        params, opt_states, metrics = g_step(params, opt_states, batch, rng)
+        metrics["d_loss"] = d_loss
+        return params, opt_states, metrics
 
     return train_step
 
@@ -281,17 +310,23 @@ def make_parallel_train_step(cfg: Config, multi_opt, mesh,
     reference's DataParallel (train.py:24-29, SURVEY 2.23)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    step = make_train_step(cfg, multi_opt, crop_frames)
+    d_step, g_step = make_step_pair(cfg, multi_opt, crop_frames)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("dp"))
     batch_sharding = Batch(waves=data, texts=data, input_lengths=data,
                            mel_lengths=data)
-    return jax.jit(
-        step,
-        in_shardings=(repl, repl, batch_sharding, repl),
-        out_shardings=(repl, repl, repl),
-        donate_argnums=(0, 1),
-    )
+    kw = dict(in_shardings=(repl, repl, batch_sharding, repl),
+              out_shardings=(repl, repl, repl), donate_argnums=(0, 1))
+    d_jit = jax.jit(d_step, **kw)
+    g_jit = jax.jit(g_step, **kw)
+
+    def train_step(params, opt_states, batch, rng):
+        params, opt_states, d_loss = d_jit(params, opt_states, batch, rng)
+        params, opt_states, metrics = g_jit(params, opt_states, batch, rng)
+        metrics["d_loss"] = d_loss
+        return params, opt_states, metrics
+
+    return train_step
 
 
 def eval_step_fn(cfg: Config):

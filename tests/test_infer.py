@@ -77,6 +77,26 @@ def test_speed_control(engine):
     assert len(slow) > len(fast)
 
 
+def test_chunk_batching_matches_single(engine):
+    """Batched same-bucket chunks must produce the same audio as one-by-one
+    synthesis (padding rows are discarded)."""
+    rng = np.random.default_rng(7)
+    wav_ref = (rng.standard_normal(24000 * 3) * 0.1).astype(np.float32)
+    engine.ref_s = engine.compute_style(wav_ref, denoise=0.0)
+    sentences = ["one two three", "four five six seven", "eight nine"]
+
+    batched, _ = engine._synthesize_chunks(sentences, engine.ref_s, 1.0,
+                                           0.0, 0.0)
+    singles = []
+    for sent in sentences:
+        w, _ = engine._synthesize_chunks([sent], engine.ref_s, 1.0, 0.0, 0.0)
+        singles.append(w[0])
+    assert len(batched) == len(singles)
+    for a, b in zip(batched, singles):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=2e-4)
+
+
 def test_save_load_styles(engine, tmp_path):
     rng = np.random.default_rng(4)
     wav_ref = (rng.standard_normal(24000 * 3) * 0.1).astype(np.float32)
