@@ -24,9 +24,9 @@ MRSTFT_RESOLUTIONS = ((1024, 120, 600), (2048, 240, 1200), (512, 50, 240))
 
 
 def _norm_mel(x: jnp.ndarray, fft: int, hop: int, win: int) -> jnp.ndarray:
-    mel = OPS.mel_spectrogram(x, sr=24000, n_fft=fft, win_length=win,
-                              hop_length=hop, n_mels=128)
-    return OPS.log_mel_normalize(mel)
+    # auto-selects the fused Pallas kernel on TPU (6 of these per train step)
+    return OPS.preprocess_wave(x, sr=24000, n_fft=fft, win_length=win,
+                               hop_length=hop, n_mels=128)
 
 
 def multi_resolution_stft_loss(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:

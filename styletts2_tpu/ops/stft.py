@@ -237,9 +237,19 @@ def log_mel_normalize(mel: jnp.ndarray) -> jnp.ndarray:
     return (jnp.log(1e-5 + mel) - LOG_MEL_MEAN) / LOG_MEL_STD
 
 
-def preprocess_wave(wave: jnp.ndarray, **mel_kwargs) -> jnp.ndarray:
+def preprocess_wave(wave: jnp.ndarray, backend: Optional[str] = None,
+                    **mel_kwargs) -> jnp.ndarray:
     """wave -> normalized log mel; reference meldataset.preprocess /
-    inference.Preprocess.wave_preprocess."""
+    inference.Preprocess.wave_preprocess.
+
+    backend: None = auto (the fused Pallas kernel on TPU backends, the XLA
+    matmul path elsewhere); 'xla' | 'pallas' to force."""
+    if backend is None:
+        backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+    if backend == "pallas":
+        from styletts2_tpu.ops.mel_pallas import fused_log_mel
+
+        return fused_log_mel(wave, **mel_kwargs)
     return log_mel_normalize(mel_spectrogram(wave, **mel_kwargs))
 
 
