@@ -39,21 +39,18 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.lru_cache(maxsize=None)
 def _padded_bases(sr: int, n_fft: int, win_length: int, n_mels: int):
     """(cos, sin) (n_fft, Fpad) and mel fb (Fpad, Mpad), zero-padded so the
-    freq axis tiles evenly and mels fill a 128 lane block."""
-    cos_b, sin_b = OPS._dft_bases(n_fft, win_length, True)
-    fb = OPS.mel_filterbank(sr, n_fft, n_mels)
+    freq axis tiles evenly and mels fill a 128 lane block. Built in-graph
+    (as baked constants these add ~20 MB to the serialized program)."""
+    cos_b, sin_b = OPS._traced_dft_bases(n_fft, win_length, True)
+    fb = OPS._traced_mel_fb(sr, n_fft, n_mels)
     freq = cos_b.shape[1]
     fpad = _round_up(freq, TILE_F)
     mpad = _round_up(n_mels, 128)
-    cos_p = np.zeros((n_fft, fpad), np.float32)
-    sin_p = np.zeros((n_fft, fpad), np.float32)
-    fb_p = np.zeros((fpad, mpad), np.float32)
-    cos_p[:, :freq] = cos_b
-    sin_p[:, :freq] = sin_b
-    fb_p[:freq, :n_mels] = fb
+    cos_p = jnp.pad(cos_b, ((0, 0), (0, fpad - freq)))
+    sin_p = jnp.pad(sin_b, ((0, 0), (0, fpad - freq)))
+    fb_p = jnp.pad(fb, ((0, fpad - freq), (0, mpad - n_mels)))
     return cos_p, sin_p, fb_p
 
 
@@ -97,10 +94,57 @@ def fused_log_mel(
 
     Numerically equivalent to ops.stft.preprocess_wave (tested); the framing
     gather stays in XLA (it fuses with the producer), everything after is
-    one Pallas kernel."""
+    one Pallas kernel. Differentiable: the custom VJP backward runs through
+    the XLA formulation (the MRSTFT training loss differentiates this)."""
     if wave.ndim == 1:
         return fused_log_mel(wave[None], sr, n_fft, win_length, hop_length,
                              n_mels, mean, std, interpret)[0]
+    return _fused_log_mel_vjp(wave, sr, n_fft, win_length, hop_length,
+                              n_mels, mean, std, interpret)
+
+
+def _xla_log_mel(wave, sr, n_fft, win_length, hop_length, n_mels, mean, std):
+    mel = OPS.mel_spectrogram(wave, sr=sr, n_fft=n_fft, win_length=win_length,
+                              hop_length=hop_length, n_mels=n_mels)
+    return (jnp.log(1e-5 + mel) - mean) / std
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
+def _fused_log_mel_vjp(wave, sr, n_fft, win_length, hop_length, n_mels,
+                       mean, std, interpret):
+    return _fused_forward(wave, sr, n_fft, win_length, hop_length, n_mels,
+                          mean, std, interpret)
+
+
+def _fused_fwd(wave, sr, n_fft, win_length, hop_length, n_mels, mean, std,
+               interpret):
+    out = _fused_forward(wave, sr, n_fft, win_length, hop_length, n_mels,
+                         mean, std, interpret)
+    return out, wave
+
+
+def _fused_bwd(sr, n_fft, win_length, hop_length, n_mels, mean, std,
+               interpret, wave, ct):
+    _, vjp = jax.vjp(lambda w: _xla_log_mel(w, sr, n_fft, win_length,
+                                            hop_length, n_mels, mean, std),
+                     wave)
+    return (vjp(ct)[0],)
+
+
+_fused_log_mel_vjp.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _fused_forward(
+    wave: jnp.ndarray,
+    sr: int,
+    n_fft: int,
+    win_length: int,
+    hop_length: int,
+    n_mels: int,
+    mean: float,
+    std: float,
+    interpret: bool,
+) -> jnp.ndarray:
     b = wave.shape[0]
     frames = OPS.frame_signal(wave.astype(jnp.float32), n_fft, hop_length)
     n_frames = frames.shape[1]
@@ -129,7 +173,7 @@ def fused_log_mel(
         out_shape=jax.ShapeDtypeStruct((rows_pad, mpad), jnp.float32),
         scratch_shapes=[pltpu.VMEM((TILE_N, TILE_F), jnp.float32)],
         interpret=interpret,
-    )(flat, jnp.asarray(cos_p), jnp.asarray(sin_p), jnp.asarray(fb_p))
+    )(flat, cos_p, sin_p, fb_p)
 
     mels = out[:n_rows, :n_mels].reshape(b, n_frames, n_mels)
     return jnp.swapaxes(mels, 1, 2)

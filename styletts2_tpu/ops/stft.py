@@ -47,6 +47,56 @@ def hann_window(win_length: int, periodic: bool = True) -> np.ndarray:
     return w[:win_length].astype(np.float32)
 
 
+def _traced_window(n_fft: int, win_length: int,
+                   center_window: bool) -> jnp.ndarray:
+    """Periodic hann window zero-padded to n_fft, built with jnp ops."""
+    n = jnp.arange(win_length, dtype=jnp.float32)
+    w = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * n / win_length)
+    left = (n_fft - win_length) // 2 if center_window else 0
+    return jnp.pad(w, (left, n_fft - win_length - left))
+
+
+def _traced_dft_bases(n_fft: int, win_length: int, center_window: bool
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(cos, -sin) windowed DFT bases (n_fft, freq_bins), built IN-GRAPH.
+
+    Embedding these as numpy constants puts ~8 MB of dense f32 per
+    resolution into the serialized MLIR (the full train step carried ~20 MB
+    of such constants, OOM-killing memory-capped compile services); built
+    from iota they are a handful of ops and XLA folds or recomputes them as
+    it sees fit."""
+    freq_bins = n_fft // 2 + 1
+    window = _traced_window(n_fft, win_length, center_window)
+    n = jax.lax.broadcasted_iota(jnp.int32, (n_fft, freq_bins), 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (n_fft, freq_bins), 1)
+    # integer range reduction BEFORE the trig: cos of ~6e3 rad in f32 loses
+    # ~4e-4 of precision to argument reduction
+    m = (n * k) % n_fft
+    angle = (2.0 * jnp.pi / n_fft) * m.astype(jnp.float32)
+    cos_b = jnp.cos(angle) * window[:, None]
+    sin_b = -jnp.sin(angle) * window[:, None]
+    # exact-zero imaginary parts at DC / Nyquist (see _dft_bases)
+    zero_cols = (k == 0) | ((n_fft % 2 == 0) & (k == freq_bins - 1))
+    sin_b = jnp.where(zero_cols, 0.0, sin_b)
+    return cos_b, sin_b
+
+
+def _traced_mel_fb(sr: int, n_fft: int, n_mels: int) -> jnp.ndarray:
+    """htk mel filterbank (freq_bins, n_mels), built in-graph (same formula
+    as mel_filterbank below)."""
+    n_freqs = n_fft // 2 + 1
+    all_freqs = jnp.linspace(0.0, sr / 2.0, n_freqs)
+    m_min = 0.0
+    m_max = 2595.0 * jnp.log10(1.0 + (sr / 2.0) / 700.0)
+    m_pts = jnp.linspace(m_min, m_max, n_mels + 2)
+    f_pts = 700.0 * (10.0 ** (m_pts / 2595.0) - 1.0)
+    f_diff = f_pts[1:] - f_pts[:-1]
+    slopes = f_pts[None, :] - all_freqs[:, None]
+    down = -slopes[:, :-2] / f_diff[None, :-1]
+    up = slopes[:, 2:] / f_diff[None, 1:]
+    return jnp.maximum(0.0, jnp.minimum(down, up))
+
+
 @functools.lru_cache(maxsize=None)
 def _dft_bases(n_fft: int, win_length: int, center_window: bool) -> Tuple[np.ndarray, np.ndarray]:
     """(cos, -sin) bases of shape (n_fft, freq_bins), window pre-multiplied.
@@ -151,8 +201,10 @@ def frame_signal(
             x = jnp.pad(x, pad_widths)
     total = x.shape[-1]
     n_frames = (total - n_fft) // hop_length + 1
-    starts = np.arange(n_frames) * hop_length
-    idx = starts[:, None] + np.arange(n_fft)[None, :]  # (n_frames, n_fft)
+    # indices built in-graph (a numpy index constant of (n_frames, n_fft)
+    # int32 bloats the serialized program)
+    starts = jnp.arange(n_frames, dtype=jnp.int32) * hop_length
+    idx = starts[:, None] + jnp.arange(n_fft, dtype=jnp.int32)[None, :]
     return x[..., idx]
 
 
@@ -170,9 +222,9 @@ def stft_power(
     Returns (..., freq_bins, n_frames), torch.stft power-spectrogram layout.
     """
     frames = frame_signal(x, n_fft, hop_length, center, pad_mode)
-    cos_b, sin_b = _dft_bases(n_fft, win_length, center_window)
-    re = _mm(frames, jnp.asarray(cos_b))   # (..., n_frames, freq_bins)
-    im = _mm(frames, jnp.asarray(sin_b))
+    cos_b, sin_b = _traced_dft_bases(n_fft, win_length, center_window)
+    re = _mm(frames, cos_b)   # (..., n_frames, freq_bins)
+    im = _mm(frames, sin_b)
     power = re * re + im * im
     return jnp.swapaxes(power, -1, -2)
 
@@ -189,9 +241,9 @@ def stft_mag_phase(
     (reference istftnet.py:207-243: end-padded window, replicate center pad,
     eps 1e-14 inside the sqrt)."""
     frames = frame_signal(x, n_fft, hop_length, center, pad_mode)
-    cos_b, sin_b = _dft_bases(n_fft, win_length, center_window=False)
-    re = jnp.swapaxes(_mm(frames, jnp.asarray(cos_b)), -1, -2)
-    im = jnp.swapaxes(_mm(frames, jnp.asarray(sin_b)), -1, -2)
+    cos_b, sin_b = _traced_dft_bases(n_fft, win_length, center_window=False)
+    re = jnp.swapaxes(_mm(frames, cos_b), -1, -2)
+    im = jnp.swapaxes(_mm(frames, sin_b), -1, -2)
     mag = jnp.sqrt(re * re + im * im + 1e-14)
     phase = jnp.arctan2(im, re)
     # Canonicalize the atan2 branch point: when the true phase is ~0/pi the
@@ -226,7 +278,7 @@ def mel_spectrogram(
 
     torchaudio.transforms.MelSpectrogram parity (the reference frontend)."""
     power = stft_power(wave, n_fft, hop_length, win_length)
-    fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels))
+    fb = _traced_mel_fb(sr, n_fft, n_mels)
     # (..., freq, frames) -> (..., frames, freq) @ (freq, mels) -> transpose
     mel = jnp.swapaxes(_mm(jnp.swapaxes(power, -1, -2), fb), -1, -2)
     return mel
@@ -271,6 +323,22 @@ def mfcc(mel_norm: jnp.ndarray, n_mfcc: int = 40, n_mels: int = 80) -> jnp.ndarr
 # ---------------------------------------------------------------------------
 # inverse STFT
 # ---------------------------------------------------------------------------
+
+
+def _traced_idft_bases(n_fft: int, win_length: int, scale: bool,
+                       center_window: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """In-graph inverse-DFT bases (freq_bins, n_fft), window/scale folded in
+    (see _traced_dft_bases for why these are not numpy constants)."""
+    freq_bins = n_fft // 2 + 1
+    window = _traced_window(n_fft, win_length, center_window)
+    n = jax.lax.broadcasted_iota(jnp.int32, (freq_bins, n_fft), 1)
+    k = jax.lax.broadcasted_iota(jnp.int32, (freq_bins, n_fft), 0)
+    m = (n * k) % n_fft
+    angle = (2.0 * jnp.pi / n_fft) * m.astype(jnp.float32)
+    inv_scale = (1.0 / n_fft) if scale else 1.0
+    cos_b = jnp.cos(angle) * window[None, :] * inv_scale
+    sin_b = jnp.sin(angle) * window[None, :] * inv_scale
+    return cos_b, sin_b
 
 
 @functools.lru_cache(maxsize=None)
@@ -329,10 +397,11 @@ def istft_conv(
     no window-envelope division (matches the reference bit-for-bit)."""
     real = magnitude * jnp.cos(phase)
     imag = magnitude * jnp.sin(phase)
-    cos_b, sin_b = _idft_bases(n_fft, win_length, scale=True, center_window=False)
+    cos_b, sin_b = _traced_idft_bases(n_fft, win_length, scale=True,
+                                      center_window=False)
     # frames_time[b, t, n] = sum_k real[b,k,t] * cos_b[k,n]  (and sin for imag)
-    real_frames = _mm(jnp.swapaxes(real, 1, 2), jnp.asarray(cos_b))  # (B, T_f, n_fft)
-    imag_frames = _mm(jnp.swapaxes(imag, 1, 2), jnp.asarray(sin_b))
+    real_frames = _mm(jnp.swapaxes(real, 1, 2), cos_b)  # (B, T_f, n_fft)
+    imag_frames = _mm(jnp.swapaxes(imag, 1, 2), sin_b)
     wav = _overlap_add(real_frames - imag_frames, hop_length)
     if center:
         pad = n_fft // 2
@@ -355,23 +424,24 @@ def istft_vocos(
     overlap-add -> divide by window envelope -> trim (win-hop)//2."""
     pad = (win_length - hop_length) // 2
     b, nbins, t = spec_real.shape
-    # irfft as matmul with UN-windowed inverse bases; fold the irfft symmetry
+    # irfft as matmul with windowed inverse bases; fold the irfft symmetry
     # (bins 1..n-1 doubled) into the basis instead of materializing negatives.
-    cos_b, sin_b = _idft_bases(n_fft, win_length, scale=True, center_window=False)
-    # _idft_bases folds the window in; rebuild with doubling for irfft parity.
-    freq_scale = np.ones((nbins, 1), dtype=np.float32)
-    freq_scale[1:-1] = 2.0 if n_fft % 2 == 0 else freq_scale[1:-1]
-    if n_fft % 2 == 1:
-        freq_scale[1:] = 2.0
-    w = hann_window(win_length).astype(np.float32)
+    cos_b, sin_b = _traced_idft_bases(n_fft, win_length, scale=True,
+                                      center_window=False)
+    kk = jnp.arange(nbins, dtype=jnp.float32)[:, None]
+    if n_fft % 2 == 0:
+        freq_scale = jnp.where((kk > 0) & (kk < nbins - 1), 2.0, 1.0)
+    else:
+        freq_scale = jnp.where(kk > 0, 2.0, 1.0)
+    w = _traced_window(win_length, win_length, False)
     cos_p = cos_b * freq_scale
     sin_p = sin_b * freq_scale
-    real_frames = _mm(jnp.swapaxes(spec_real, 1, 2), jnp.asarray(cos_p))
-    imag_frames = _mm(jnp.swapaxes(spec_imag, 1, 2), jnp.asarray(sin_p))
+    real_frames = _mm(jnp.swapaxes(spec_real, 1, 2), cos_p)
+    imag_frames = _mm(jnp.swapaxes(spec_imag, 1, 2), sin_p)
     frames = real_frames - imag_frames  # (B, T, n_fft): window already folded in
     y = _overlap_add(frames, hop_length)
     # window envelope: OLA of window^2 over the same frame grid
-    env_frames = jnp.broadcast_to(jnp.asarray(w * w)[None, None, :], (1, t, win_length))
+    env_frames = jnp.broadcast_to((w * w)[None, None, :], (1, t, win_length))
     env = _overlap_add(env_frames, hop_length)
     y = y / jnp.maximum(env, 1e-11)
     return y[:, pad:-pad] if pad > 0 else y
@@ -386,17 +456,18 @@ def interpolate_linear(x: jnp.ndarray, out_size: int) -> jnp.ndarray:
     """1-D linear resize on the last axis, align_corners=False.
 
     torch F.interpolate(mode='linear') parity: source position of output i is
-    (i + 0.5) * (in/out) - 0.5, edge-clamped."""
+    (i + 0.5) * (in/out) - 0.5, edge-clamped. Indices are built in-graph
+    (as numpy constants these reach ~17 MB at waveform rates)."""
     in_size = x.shape[-1]
     scale = in_size / out_size
-    pos = (np.arange(out_size) + 0.5) * scale - 0.5
-    lo = np.clip(np.floor(pos).astype(np.int64), 0, in_size - 1)
-    hi = np.clip(lo + 1, 0, in_size - 1)
-    frac = np.clip(pos - np.floor(pos), 0.0, 1.0).astype(np.float32)
-    frac = np.where(pos < 0, 0.0, frac).astype(np.float32)
+    pos = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, in_size - 1)
+    hi = jnp.clip(lo + 1, 0, in_size - 1)
+    frac = jnp.clip(pos - jnp.floor(pos), 0.0, 1.0)
+    frac = jnp.where(pos < 0, 0.0, frac)
     xl = x[..., lo]
     xh = x[..., hi]
-    return xl + (xh - xl) * jnp.asarray(frac)
+    return xl + (xh - xl) * frac.astype(x.dtype)
 
 
 def interpolate_nearest(x: jnp.ndarray, scale_factor: int) -> jnp.ndarray:

@@ -308,11 +308,11 @@ def make_parallel_train_step(cfg: Config, multi_opt, mesh,
 
     XLA inserts the gradient all-reduce over ICI — the SPMD redesign of the
     reference's DataParallel (train.py:24-29, SURVEY 2.23)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from styletts2_tpu.parallel import data_sharding, replicated
 
     d_step, g_step = make_step_pair(cfg, multi_opt, crop_frames)
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("dp"))
+    repl = replicated(mesh)
+    data = data_sharding(mesh)
     batch_sharding = Batch(waves=data, texts=data, input_lengths=data,
                            mel_lengths=data)
     kw = dict(in_shardings=(repl, repl, batch_sharding, repl),

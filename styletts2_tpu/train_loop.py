@@ -66,8 +66,8 @@ def freeze_grads(grads_tree: Dict[str, Any], frozen: set):
 def main(argv=None) -> None:
     import jax
     import jax.numpy as jnp
-    from jax.sharding import Mesh
 
+    from styletts2_tpu.parallel import make_mesh
     from styletts2_tpu.checkpoint import (apply_checkpoint, load_checkpoint,
                                           save_checkpoint)
     from styletts2_tpu.config import load_config
@@ -104,9 +104,9 @@ def main(argv=None) -> None:
         val_list = f.readlines()
 
     # data-parallel mesh over all local devices (or cfg.tpu.dp)
-    n_dp = cfg.tpu.dp if cfg.tpu.dp > 0 else len(jax.devices())
-    mesh = Mesh(np.array(jax.devices()[:n_dp]), ("dp",))
-    logger.info("mesh: %d-way data parallel on %s", n_dp, jax.devices()[0])
+    mesh = make_mesh(cfg.tpu.dp)
+    logger.info("mesh: %d-way data parallel on %s", mesh.size,
+                jax.devices()[0])
 
     train_loader = build_dataloader(
         train_list, cfg.data_params.root_path, symbol_dict,
