@@ -25,9 +25,11 @@ import numpy as np
 def main():
     import jax
 
+    from styletts2_tpu.cache import enable_compilation_cache
     from styletts2_tpu.config import load_config
     from styletts2_tpu.infer import StyleTTS2
 
+    enable_compilation_cache()
     dec_type = os.environ.get("BENCH_DECODER", "hifigan")
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     cfg = load_config({

@@ -63,6 +63,9 @@ class StyleTTS2:
     def __init__(self, config, models_path: Optional[str] = None, *,
                  params: Optional[Dict[str, Any]] = None, seed: int = 0,
                  decoder_dtype: Optional[str] = None):
+        from styletts2_tpu.cache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.cfg: Config = (config if isinstance(config, Config)
                             else load_config(config))
         mp = self.cfg.model_params

@@ -67,6 +67,7 @@ def main(argv=None) -> None:
     import jax
     import jax.numpy as jnp
 
+    from styletts2_tpu.cache import enable_compilation_cache
     from styletts2_tpu.parallel import make_mesh
     from styletts2_tpu.checkpoint import (apply_checkpoint, load_checkpoint,
                                           save_checkpoint)
@@ -88,6 +89,7 @@ def main(argv=None) -> None:
                     choices=["raise", "skip", "ignore"])
     args = ap.parse_args(argv)
 
+    enable_compilation_cache()
     cfg = load_config(args.config_path)
     log_dir = cfg.log_dir
     setup_logging(log_dir)
