@@ -14,16 +14,35 @@ from typing import Iterator, Optional, Sequence
 
 import numpy as np
 
-from styletts2_tpu.data.dataset import FilePathDataset
+from styletts2_tpu.data.dataset import FilePathDataset, PAD_SAMPLES
 from styletts2_tpu.data.sampler import (DurationBinSampler, FRAMES_PER_BIN,
                                         HOP, MIN_FRAMES)
 
 TEXT_PAD_MULTIPLE = 32
+# Bins are computed from the RAW file length (reference get_length,
+# meldataset.py:181-183), but FilePathDataset pads 0.5 s of silence on both
+# ends (meldataset.py:111) — every item is PAD_FRAMES longer than its bin
+# edge suggests, and the static batch shape must cover that.
+PAD_FRAMES = 2 * PAD_SAMPLES // HOP  # 80
 
 
 def bin_upper_frames(bin_id: int) -> int:
-    """Upper mel-frame edge (exclusive) of a duration bin."""
-    return MIN_FRAMES + (bin_id + 1) * FRAMES_PER_BIN
+    """Upper mel-frame edge (exclusive) of a duration bin, INCLUDING the
+    dataset's silence padding."""
+    return MIN_FRAMES + (bin_id + 1) * FRAMES_PER_BIN + PAD_FRAMES
+
+
+def bin_min_frames(bin_id: int) -> int:
+    """Minimum (even) mel frame count of any padded sample in the bin."""
+    return MIN_FRAMES + bin_id * FRAMES_PER_BIN + PAD_FRAMES
+
+
+def bin_crop_frames(bin_id: int, max_len: int) -> int:
+    """Static per-bin training crop at the half-mel rate — the reference
+    bounds its crop by the batch minimum (train.py:235): mel_len =
+    min(mel_input_length.min()//2 - 1, max_len//2). Binning makes the batch
+    minimum a static per-bin quantity."""
+    return min(bin_min_frames(bin_id) // 2 - 1, max_len // 2)
 
 
 class NumpyBatch:
@@ -54,7 +73,11 @@ def collate(dataset: FilePathDataset, indices: Sequence[int],
     mel_lengths = np.zeros(b, np.int32)
     paths = []
     for i, (wave, tokens, path) in enumerate(items):
+        # bin_upper_frames covers raw length + dataset silence padding, so
+        # no sample content is ever dropped (min() guards resample rounding)
         n = min(len(wave), wav_len)
+        assert len(wave) - n <= 1, \
+            f"collate would truncate {len(wave) - n} samples (bin {bin_id})"
         waves[i, :n] = wave[:n]
         texts[i, :len(tokens)] = tokens
         input_lengths[i] = len(tokens)

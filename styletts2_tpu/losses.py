@@ -98,9 +98,16 @@ def discriminator_tprls_loss(disc_real, disc_fake) -> jnp.ndarray:
 
 
 def generator_tprls_loss(disc_real, disc_fake) -> jnp.ndarray:
-    # (the reference swaps the zip order but computes the same expression:
-    # losses.py:140-147)
-    return discriminator_tprls_loss(disc_real, disc_fake)
+    """The reference's generator_TPRLS_loss swaps the zip binding
+    (losses.py:140-147: `for dg, dr in zip(real, generated)`), so its
+    formula effectively runs with dr=generated, dg=real — selecting and
+    penalizing the opposite tail of the (dr-dg) distribution around the
+    median relative to the discriminator version. NOT the same expression;
+    reproduce the swapped binding."""
+    loss = 0.0
+    for dr, dg in zip(disc_real, disc_fake):
+        loss = loss + _tprls_term(dg, dr)
+    return loss
 
 
 def generator_loss(mpd_params, msd_params, y: jnp.ndarray,

@@ -294,10 +294,12 @@ def preprocess_wave(wave: jnp.ndarray, backend: Optional[str] = None,
     """wave -> normalized log mel; reference meldataset.preprocess /
     inference.Preprocess.wave_preprocess.
 
-    backend: None = auto (the fused Pallas kernel on TPU backends, the XLA
-    matmul path elsewhere); 'xla' | 'pallas' to force."""
+    backend: None = auto (the fused Pallas kernel on TPU, the XLA matmul
+    path elsewhere); 'xla' | 'pallas' to force. The kernel uses pltpu VMEM
+    scratch, so only 'tpu' selects it — any other accelerator would fail at
+    Pallas lowering rather than fall back."""
     if backend is None:
-        backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "pallas":
         from styletts2_tpu.ops.mel_pallas import fused_log_mel
 

@@ -329,13 +329,13 @@ def make_parallel_train_step(cfg: Config, multi_opt, mesh,
     return train_step
 
 
-def eval_step_fn(cfg: Config):
+def eval_step_fn(cfg: Config, crop_frames: Optional[int] = None):
     """Validation metrics (reference train.py:363-463): mel/dur/F0 losses
     with train=False (no dropout, deterministic)."""
     mp = cfg.model_params
     lp = cfg.loss_params
     sp = cfg.preprocess_params.spect_params
-    crop = cfg.max_len // 2
+    crop = crop_frames if crop_frames is not None else cfg.max_len // 2
 
     def eval_step(params, batch: Batch, rng):
         mels = compute_mels(batch.waves, mp, sp)

@@ -145,8 +145,26 @@ def main(argv=None) -> None:
             opt.txs[k] = make_adamw(0.0)
         print(f"{k} Freezed")
 
-    train_step = make_parallel_train_step(cfg, opt, mesh)
-    eval_step = jax.jit(eval_step_fn(cfg))
+    # One compiled step per duration bin: each bin's static crop follows the
+    # reference's batch-min bound (train.py:235) so short bins never try to
+    # slice more frames than any of their samples have.
+    from styletts2_tpu.data.loader import bin_crop_frames
+
+    train_steps: Dict[int, Any] = {}
+    eval_steps: Dict[int, Any] = {}
+
+    def train_step_for(bin_id: int):
+        if bin_id not in train_steps:
+            train_steps[bin_id] = make_parallel_train_step(
+                cfg, opt, mesh,
+                crop_frames=bin_crop_frames(bin_id, cfg.max_len))
+        return train_steps[bin_id]
+
+    def eval_step_for(bin_id: int):
+        if bin_id not in eval_steps:
+            eval_steps[bin_id] = jax.jit(eval_step_fn(
+                cfg, crop_frames=bin_crop_frames(bin_id, cfg.max_len)))
+        return eval_steps[bin_id]
 
     rng = jax.random.PRNGKey(1)
     best_loss = float("inf")
@@ -165,8 +183,8 @@ def main(argv=None) -> None:
             profiling = (args.profile_dir and epoch == start_epoch
                          and 10 <= i < 15)
             with trace(args.profile_dir if profiling else None):
-                params, opt_states, metrics = train_step(params, opt_states,
-                                                         batch, step_key)
+                params, opt_states, metrics = train_step_for(bin_id)(
+                    params, opt_states, batch, step_key)
             timer.tick()
             iters += 1
             if (i + 1) % cfg.log_interval == 0:
@@ -196,7 +214,7 @@ def main(argv=None) -> None:
                           texts=jnp.asarray(nb.texts),
                           input_lengths=jnp.asarray(nb.input_lengths),
                           mel_lengths=jnp.asarray(nb.mel_lengths))
-            m = eval_step(params, batch, ek)
+            m = eval_step_for(bin_id)(params, batch, ek)
             for k in tot:
                 tot[k] += float(m[k])
             n_eval += 1

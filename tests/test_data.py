@@ -49,7 +49,39 @@ def test_time_bins():
     assert time_bin(20 * 300) == 0
     assert time_bin(39 * 300) == 0
     assert time_bin(40 * 300) == 1
-    assert bin_upper_frames(0) == 40
+    # static batch shape = raw bin edge (40) + the dataset's 2x0.5 s
+    # silence padding (80 frames) that binning-by-raw-length doesn't see
+    assert bin_upper_frames(0) == 120
+
+
+def test_collate_never_truncates(wav_dir):
+    """Binning uses RAW file length but the dataset pads 0.5 s of silence on
+    both ends — the static shape must cover raw + padding, so no trailing
+    audio is dropped (round-1 bug: every sample lost its last ~0.5-1 s)."""
+    root, lines = wav_dir
+    symbol_dict = build_symbol_dict(SymbolConfig())
+    loader = build_dataloader(lines, root, symbol_dict, batch_size=2,
+                              debug=False)
+    for bin_id, batch in loader:
+        for row, path in zip(batch.waves, batch.paths):
+            full, sr = AUD.read_wav(os.path.join(root, path))
+            n = len(full)
+            # the padded item = [12000 zeros, full, 12000 zeros]; the
+            # collated row must contain ALL of it (trailing zeros and all)
+            np.testing.assert_array_equal(row[12000:12000 + n], full)
+            assert batch.waves.shape[1] >= n + 24000 - 1
+
+
+def test_bin_crop_frames():
+    from styletts2_tpu.data.loader import bin_crop_frames, bin_min_frames
+
+    # bin 0: raw frames [20, 40) + 80 pad frames -> min padded mel 100
+    assert bin_min_frames(0) == 100
+    # reference crop bound (train.py:235): min(batch_min//2 - 1, max_len//2)
+    assert bin_crop_frames(0, 300) == 49
+    assert bin_crop_frames(20, 300) == 150  # long bins hit the max_len cap
+    # crops always satisfy the style encoder's 66-frame minimum (2*crop)
+    assert 2 * bin_crop_frames(0, 300) >= 66
 
 
 def test_sampler_rank_sharding():

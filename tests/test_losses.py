@@ -56,9 +56,32 @@ def test_lsgan_and_tprls_parity():
     assert float(LO.discriminator_tprls_loss(j_r, j_g)) == pytest.approx(
         ref_tprls_d.item(), rel=1e-3, abs=1e-6)
     # reference generator_TPRLS_loss zips (real, fake) into (dg, dr) —
-    # i.e. the same quantity (losses.py:140-147)
+    # the SWAPPED binding, NOT the same expression (losses.py:140-147)
     assert float(LO.generator_tprls_loss(j_r, j_g)) == pytest.approx(
         ref_tprls_g.item(), rel=1e-3, abs=1e-6)
+
+
+def test_tprls_parity_small_magnitudes():
+    """Unit-variance inputs put L_rel >> tau=0.04 so both TPRLS variants
+    saturate at tau and a binding bug is invisible. Sub-tau magnitudes keep
+    the relu clamp inactive — exactly the regime where gradient flows — and
+    there the generator/discriminator variants must DIFFER (the reference's
+    swapped zip selects the opposite tail around the median)."""
+    import losses as ref_losses
+
+    torch.manual_seed(7)
+    outs_r = [torch.randn(2, 40) * 0.05, torch.randn(2, 33) * 0.05]
+    outs_g = [torch.randn(2, 40) * 0.05, torch.randn(2, 33) * 0.05]
+    ref_d = ref_losses.discriminator_TPRLS_loss(outs_r, outs_g).item()
+    ref_g = ref_losses.generator_TPRLS_loss(outs_r, outs_g).item()
+    assert ref_d != pytest.approx(ref_g, rel=1e-3)  # the regime is active
+
+    j_r = [jnp.asarray(t.numpy()) for t in outs_r]
+    j_g = [jnp.asarray(t.numpy()) for t in outs_g]
+    assert float(LO.discriminator_tprls_loss(j_r, j_g)) == pytest.approx(
+        ref_d, rel=1e-4, abs=1e-8)
+    assert float(LO.generator_tprls_loss(j_r, j_g)) == pytest.approx(
+        ref_g, rel=1e-4, abs=1e-8)
 
 
 def test_feature_loss_parity():
