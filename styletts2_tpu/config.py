@@ -120,6 +120,21 @@ class LossParams:
 
 
 @dataclass
+class SLMAdvParams:
+    """SLM (WavLM) adversarial stage — upstream StyleTTS2's slmadv_params
+    block (Modules/slmadv.py + second-stage config), opt-in here.
+
+    wavlm_path: local torch state_dict (or native ckpt) for the
+    wavlm-base-plus backbone; empty = random init (smoke tests only)."""
+
+    enabled: bool = False
+    iter: int = 10          # run every `iter` train steps (skip_update)
+    scale: float = 0.01     # loss scale (upstream config: 0.01)
+    sig: float = 1.5        # soft-alignment gaussian width
+    wavlm_path: str = ""
+
+
+@dataclass
 class OptimizerParams:
     lr: float = 1e-4
     ft_lr: float = 1e-5
@@ -170,6 +185,7 @@ class Config:
     model_params: ModelConfig = field(default_factory=ModelConfig)
     loss_params: LossParams = field(default_factory=LossParams)
     optimizer_params: OptimizerParams = field(default_factory=OptimizerParams)
+    slmadv_params: SLMAdvParams = field(default_factory=SLMAdvParams)
     tpu: TPUConfig = field(default_factory=TPUConfig)
 
 
@@ -207,6 +223,7 @@ _DATACLASS_FIELDS = {
     ("Config", "model_params"): ModelConfig,
     ("Config", "loss_params"): LossParams,
     ("Config", "optimizer_params"): OptimizerParams,
+    ("Config", "slmadv_params"): SLMAdvParams,
     ("Config", "tpu"): TPUConfig,
     ("ModelConfig", "ASR_params"): ASRParams,
     ("ModelConfig", "JDC_params"): JDCParams,

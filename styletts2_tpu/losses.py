@@ -176,16 +176,24 @@ class WavLMLoss:
             loss = loss + jnp.mean(jnp.abs(r - g))
         return loss
 
-    def generator(self, y_rec: jnp.ndarray) -> jnp.ndarray:
+    def generator(self, y_rec: jnp.ndarray, wd_params=None) -> jnp.ndarray:
+        """LSGAN generator loss through the (frozen) WavLM embeddings
+        (losses.py:214-219). wd_params overrides the constructor's head
+        params so the train step can thread updated values functionally."""
         eg = self._stack(self.embedder(self._resample(y_rec)))
-        d_out = DISC.wavlm_d_apply(self.wd_params, eg)
+        d_out = DISC.wavlm_d_apply(wd_params if wd_params is not None
+                                   else self.wd_params, eg)
         return jnp.mean(jnp.square(1.0 - d_out))
 
-    def discriminator(self, wav: jnp.ndarray, y_rec: jnp.ndarray) -> jnp.ndarray:
+    def discriminator(self, wav: jnp.ndarray, y_rec: jnp.ndarray,
+                      wd_params=None) -> jnp.ndarray:
+        """LSGAN discriminator loss on (real, synthesized) WavLM embeddings
+        (losses.py:221-233)."""
+        wd = wd_params if wd_params is not None else self.wd_params
         er = self._stack(self.embedder(jax.lax.stop_gradient(
             self._resample(wav))))
         eg = self._stack(self.embedder(jax.lax.stop_gradient(
             self._resample(y_rec))))
-        d_r = DISC.wavlm_d_apply(self.wd_params, er)
-        d_g = DISC.wavlm_d_apply(self.wd_params, eg)
+        d_r = DISC.wavlm_d_apply(wd, er)
+        d_g = DISC.wavlm_d_apply(wd, eg)
         return jnp.mean(jnp.square(1.0 - d_r)) + jnp.mean(jnp.square(d_g))

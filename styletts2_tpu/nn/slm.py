@@ -67,7 +67,8 @@ class SLMAdversarialLoss:
 
     def generator_step(self, params: Dict[str, Any], cfg, texts: jnp.ndarray,
                        text_lengths: jnp.ndarray, ref_s: jnp.ndarray,
-                       n_frames: int, rng) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                       n_frames: int, rng,
+                       wd_params=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Synthesize through differentiable durations, return
         (slm generator loss, y_pred). n_frames: static frame bucket."""
         t_text = texts.shape[1]
@@ -92,11 +93,108 @@ class SLMAdversarialLoss:
         y_pred = DE.decoder_apply(params["decoder"], cfg.decoder, asr_pred,
                                   f0, n_en, ref_s, rng=rng, train=False,
                                   frame_mask=frame_mask)
-        gen_loss = self.wl.generator(y_pred[..., 0])
+        gen_loss = self.wl.generator(y_pred[..., 0], wd_params=wd_params)
         return gen_loss, y_pred
 
-    def discriminator_step(self, wav: jnp.ndarray,
-                           y_pred: jnp.ndarray) -> jnp.ndarray:
+    def discriminator_step(self, wav: jnp.ndarray, y_pred: jnp.ndarray,
+                           wd_params=None) -> jnp.ndarray:
         """SLM discriminator LSGAN loss on (real, synthesized) audio
         (slmadv.py:120-163 core branch)."""
-        return self.wl.discriminator(wav, jax.lax.stop_gradient(y_pred))
+        return self.wl.discriminator(wav, jax.lax.stop_gradient(y_pred),
+                                     wd_params=wd_params)
+
+
+class SLMAdversarialTrainer:
+    """Opt-in SLM adversarial stage for the train loop.
+
+    The reference keeps this capability on disk but never calls it
+    (Modules/slmadv.py — dead code in the lite fork; live in upstream
+    StyleTTS2). Here it is wired: every `skip_update` iterations the train
+    loop runs one generator step (gradients flow through the gaussian soft
+    alignment + the frozen WavLM into predictor and decoder) and one
+    discriminator step (updates the WavLM-feature conv head `wd`).
+
+    Static shapes: one jitted (g, d) pair per (crop, text-bucket) shape,
+    built lazily like the main train steps. The real-audio clip is the
+    leading `2*crop` mel frames of each sample's padded waveform (every
+    sample is at least that long by the per-bin crop bound)."""
+
+    def __init__(self, cfg, multi_opt, wl: LO.WavLMLoss, wd_params,
+                 scale: float = 0.01, sig: float = 1.5,
+                 trained_modules: Tuple[str, ...] = ("predictor", "decoder")):
+        from styletts2_tpu.optim import make_adamw
+
+        self.cfg = cfg
+        self.multi_opt = multi_opt
+        self.wl = wl
+        self.wd_params = wd_params
+        self.scale = scale
+        self.sig = sig
+        self.trained = trained_modules
+        self.wd_tx = make_adamw(cfg.optimizer_params.lr)
+        self.wd_state = self.wd_tx.init(wd_params)
+        self._steps: Dict[Tuple[int, int], Any] = {}
+
+    def _build(self, crop: int, t_text: int):
+        import jax as _jax
+
+        mp = self.cfg.model_params
+        sp = self.cfg.preprocess_params.spect_params
+        hop = sp.hop_length
+        slm = SLMAdversarialLoss(self.wl, sig=self.sig)
+
+        def g_step(params, opt_states, wd_params, texts, text_lengths,
+                   waves, rng):
+            from styletts2_tpu.ops import stft as OPS
+            from styletts2_tpu.nn import style_encoder as SE
+
+            mels = OPS.preprocess_wave(waves, sr=24000, n_fft=sp.n_fft,
+                                       win_length=sp.win_length,
+                                       hop_length=hop, n_mels=mp.n_mels)
+            ref_s = _jax.lax.stop_gradient(
+                SE.apply(params["style_encoder"], mels))
+
+            def loss_fn(g_params):
+                full = dict(params)
+                full.update(g_params)
+                loss, y_pred = slm.generator_step(
+                    full, mp, texts, text_lengths, ref_s, crop, rng,
+                    wd_params=wd_params)
+                return loss * self.scale, y_pred
+
+            g_params = {k: params[k] for k in self.trained}
+            (loss, y_pred), grads = _jax.value_and_grad(
+                loss_fn, has_aux=True)(g_params)
+            new_params, new_states = self.multi_opt.step_modules(
+                self.trained, grads, opt_states, params)
+            return new_params, new_states, loss, y_pred
+
+        def d_step(wd_params, wd_state, waves, y_pred):
+            wav = waves[:, : crop * 2 * hop]
+
+            def loss_fn(wd):
+                return slm.discriminator_step(wav, y_pred[..., 0],
+                                              wd_params=wd)
+
+            loss, grads = _jax.value_and_grad(loss_fn)(wd_params)
+            updates, new_state = self.wd_tx.update(grads, wd_state, wd_params)
+            import optax
+
+            return optax.apply_updates(wd_params, updates), new_state, loss
+
+        return _jax.jit(g_step), _jax.jit(d_step)
+
+    def step(self, params, opt_states, texts, text_lengths, waves, crop: int,
+             rng):
+        """One SLM adversarial round. Returns (params, opt_states, metrics);
+        updates the internal wd head state."""
+        key = (crop, texts.shape[1])
+        if key not in self._steps:
+            self._steps[key] = self._build(crop, texts.shape[1])
+        g_step, d_step = self._steps[key]
+        params, opt_states, g_loss, y_pred = g_step(
+            params, opt_states, self.wd_params, texts, text_lengths, waves,
+            rng)
+        self.wd_params, self.wd_state, d_loss = d_step(
+            self.wd_params, self.wd_state, waves, y_pred)
+        return params, opt_states, {"slm_g": g_loss, "slm_d": d_loss}

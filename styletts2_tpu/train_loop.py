@@ -166,6 +166,33 @@ def main(argv=None) -> None:
                 cfg, crop_frames=bin_crop_frames(bin_id, cfg.max_len)))
         return eval_steps[bin_id]
 
+    # ---- opt-in SLM (WavLM) adversarial stage (upstream capability) ------
+    slm_trainer = None
+    if cfg.slmadv_params.enabled:
+        from styletts2_tpu.losses import WavLMLoss
+        from styletts2_tpu.nn import wavlm as WL
+        from styletts2_tpu.nn.discriminators import wavlm_d_init
+        from styletts2_tpu.nn.slm import SLMAdversarialTrainer
+
+        wl_cfg = WL.WavLMConfig()
+        if cfg.slmadv_params.wavlm_path:
+            import torch
+
+            sd = torch.load(cfg.slmadv_params.wavlm_path, map_location="cpu")
+            wavlm_params = WL.convert_torch_state_dict(sd, wl_cfg)
+        else:
+            logger.warning("slmadv enabled without wavlm_path: the WavLM "
+                           "backbone is RANDOMLY initialized (smoke only)")
+            wavlm_params = WL.init(jax.random.PRNGKey(7), wl_cfg)
+        wavlm_params = jax.device_put(wavlm_params)
+        wd_params = jax.device_put(wavlm_d_init(
+            jax.random.PRNGKey(8), slm_hidden=wl_cfg.hidden_size,
+            slm_layers=wl_cfg.num_hidden_layers + 1))
+        wl = WavLMLoss(WL.make_embedder(wavlm_params, wl_cfg), wd_params)
+        slm_trainer = SLMAdversarialTrainer(
+            cfg, opt, wl, wd_params, scale=cfg.slmadv_params.scale,
+            sig=cfg.slmadv_params.sig)
+
     rng = jax.random.PRNGKey(1)
     best_loss = float("inf")
     timer = StepTimer()
@@ -185,6 +212,15 @@ def main(argv=None) -> None:
             with trace(args.profile_dir if profiling else None):
                 params, opt_states, metrics = train_step_for(bin_id)(
                     params, opt_states, batch, step_key)
+            if slm_trainer is not None and \
+                    (i + 1) % cfg.slmadv_params.iter == 0:
+                rng, slm_key = jax.random.split(rng)
+                params, opt_states, slm_m = slm_trainer.step(
+                    params, opt_states, batch.texts, batch.input_lengths,
+                    batch.waves, bin_crop_frames(bin_id, cfg.max_len),
+                    slm_key)
+                metrics = dict(metrics)
+                metrics.update(slm_m)
             timer.tick()
             iters += 1
             if (i + 1) % cfg.log_interval == 0:

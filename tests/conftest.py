@@ -26,6 +26,13 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+# Persistent compile cache: the big train-step graphs take minutes to
+# compile on CPU; cache them across test runs (keyed by platform+flags, so
+# CPU test entries don't collide with TPU entries).
+from styletts2_tpu.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 REFERENCE_ROOT = "/root/reference"
 
 

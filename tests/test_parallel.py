@@ -100,8 +100,11 @@ def test_mesh_parity_and_short_bins(setup):
         l1 = jax.tree_util.tree_leaves(p1[mod])
         l8 = jax.tree_util.tree_leaves(p8[mod])
         for a, b in zip(l1, l8):
+            # atol: one AdamW step is lr*m/(sqrt(v)+eps) <= 1e-4; elements
+            # with near-zero gradients can flip sign under a different
+            # all-reduce summation order, so allow a few lr quanta
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=2e-3, atol=2e-5)
+                                       rtol=2e-3, atol=3e-4)
 
     # --- second (longer, still < max_len) bin through the parallel step --
     crop2 = bin_crop_frames(2, cfg.max_len)
