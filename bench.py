@@ -5,13 +5,19 @@ token bucket -> phase-1 jit -> host duration glue -> phase-2 jit -> host
 copy) end to end, plus p50 utterance latency for a 10-word utterance —
 the BASELINE.md targets (>=50x realtime, <200 ms p50 on one v5e chip).
 
+Reports ALL THREE reference decoders (hifigan is the reference default and
+the headline number; istftnet and vocos are the same first-class options
+the reference config exposes), an MFU estimate, and the unpinned-duration
+path.
+
 No published checkpoints exist in this environment, so weights are randomly
 initialized; RTF is weight-independent (the compute per audio-second is
-fixed by the architecture), and the synthesized audio length is whatever the
-duration predictor chooses.
+fixed by the architecture). Durations are pinned to a realistic 4
+frames/token for the headline numbers (random weights predict ~25
+frames/token); the real duration path is reported as an extra.
 
 Prints exactly ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 """
 
 import json
@@ -21,17 +27,17 @@ import time
 
 import numpy as np
 
+UTTERANCE = "the quick brown fox jumps over the lazy sleeping dog"
+LONG_TEXT = " ".join(["this is sentence number %d of the benchmark "
+                      "paragraph, with a few more words added." % i
+                      for i in range(12)])
+MERGE_LONG = 32  # ~10 s audio chunks (reference n_merge knob)
 
-def main():
-    import jax
 
-    from styletts2_tpu.cache import enable_compilation_cache
+def build_engine(dec_type: str, dtype: str):
     from styletts2_tpu.config import load_config
     from styletts2_tpu.infer import StyleTTS2
 
-    enable_compilation_cache()
-    dec_type = os.environ.get("BENCH_DECODER", "hifigan")
-    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     cfg = load_config({
         "model_params": {"decoder": {"type": dec_type}},
         "tpu": {"decoder_dtype": dtype,
@@ -41,61 +47,144 @@ def main():
         "debug": False,
     })
     engine = StyleTTS2(cfg, seed=0)
-    # randomly-initialized weights predict unrealistic durations (~25
-    # frames/token); pin a realistic 4 frames/token (100 ms/phoneme) so the
-    # synthesized audio lengths — and therefore RTF and latency — match what
-    # a trained checkpoint produces. The measured compute path is identical.
-    engine.fixed_duration = 4
-
-    # style from a synthetic 6 s reference clip
     rng = np.random.default_rng(0)
     ref_wav = (rng.standard_normal(24000 * 6) * 0.1).astype(np.float32)
     engine.ref_s = engine.compute_style(ref_wav, denoise=0.0)
-    style = {"style": engine.ref_s, "speed": 1.0}
+    return engine
 
-    utterance = ("the quick brown fox jumps over the lazy sleeping dog")
-    long_text = " ".join(["this is sentence number %d of the benchmark "
-                          "paragraph, with a few more words added." % i
-                          for i in range(12)])
-    # long-form synthesis merges sentences into ~10 s chunks: larger frame
-    # buckets amortize fixed per-call cost (the reference's n_merge knob,
-    # inference.py:303)
-    merge_long = 32
+
+def measure(engine, fixed_duration=4, reps=8, lat_reps=20):
+    style = {"style": engine.ref_s, "speed": 1.0}
+    engine.fixed_duration = fixed_duration
 
     # warmup/compile: one short + one long call populates the bucket caches
-    engine.generate(utterance, style, stabilize=False, n_merge=16)
-    engine.generate(long_text, style, stabilize=False, n_merge=merge_long)
+    engine.generate(UTTERANCE, style, stabilize=False, n_merge=16)
+    engine.generate(LONG_TEXT, style, stabilize=False, n_merge=MERGE_LONG)
 
-    # p50 utterance latency (10-word utterance)
     lat = []
-    for _ in range(20):
+    wav = None
+    for _ in range(lat_reps):
         t0 = time.perf_counter()
-        wav = engine.generate(utterance, style, stabilize=False, n_merge=16)
+        wav = engine.generate(UTTERANCE, style, stabilize=False, n_merge=16)
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.percentile(lat, 50) * 1000.0)
     audio_s = (len(wav) - 8000) / 24000.0
 
-    # sustained single-stream throughput on long-form text
     t0 = time.perf_counter()
-    reps = 8
     total_audio = 0.0
     for _ in range(reps):
-        w = engine.generate(long_text, style, stabilize=False,
-                            n_merge=merge_long)
+        w = engine.generate(LONG_TEXT, style, stabilize=False,
+                            n_merge=MERGE_LONG)
         total_audio += (len(w) - 8000) / 24000.0
     wall = time.perf_counter() - t0
-    inv_rtf = total_audio / wall
+    return total_audio / wall, p50_ms, audio_s
 
+
+def decoder_gflops_per_audio_sec(dec_type: str) -> float:
+    """Analytic conv/matmul FLOPs of the synthesis path per second of
+    24 kHz audio (dominant terms; elementwise excluded) — for the MFU
+    estimate. Frame rates: 40 Hz half-mel ('F'), 80 Hz mel ('M')."""
+    F, M, SR = 40.0, 80.0, 24000.0
+    g = 0.0
+    # decoder shell: encode(514->1024 k3) + 3x decode(1090->1024 k3)
+    # + decode.3(1090->512 k3, at M after upsample) + asr_res(512->64)
+    g += 2 * F * (514 * 1024 * 3 + 3 * 1090 * 1024 * 3) / 1e9
+    g += 2 * M * (1090 * 512 * 3) / 1e9
+    g += 2 * F * (512 * 64) / 1e9
+    if dec_type == "hifigan":
+        rates = [10, 5, 3, 2]
+        kups = [20, 10, 6, 4]
+        c = 512
+        rate = M
+        for i, (u, k) in enumerate(zip(rates, kups)):
+            c_out = c // 2
+            out_rate = rate * u
+            g += 2 * rate * c * c_out * k / 1e9          # transposed conv
+            for rk in (3, 7, 11):                        # 3 resblocks
+                g += 2 * out_rate * c_out * c_out * rk * 6 / 1e9
+            nk = 7 if i + 1 < len(rates) else 11         # noise_res
+            g += 2 * out_rate * c_out * c_out * nk * 6 / 1e9
+            g += 2 * out_rate * 1 * c_out * (u * 2) / 1e9  # noise conv
+            c, rate = c_out, out_rate
+        g += 2 * SR * c * 1 * 7 / 1e9                    # conv_post
+    elif dec_type == "istftnet":
+        rates = [10, 6]
+        kups = [20, 12]
+        c = 512
+        rate = M
+        for i, (u, k) in enumerate(zip(rates, kups)):
+            c_out = c // 2
+            out_rate = rate * u
+            g += 2 * rate * c * c_out * k / 1e9
+            for rk in (3, 7, 11):
+                g += 2 * out_rate * c_out * c_out * rk * 6 / 1e9
+            nk = 7 if i + 1 < len(rates) else 11
+            g += 2 * out_rate * c_out * c_out * nk * 6 / 1e9
+            c, rate = c_out, out_rate
+        g += 2 * rate * c * 22 * 7 / 1e9                 # conv_post to n_fft+2
+        g += 2 * rate * 22 * 22 / 1e9                    # iSTFT conv basis
+    else:  # vocos
+        T = M  # constant mel-rate resolution
+        for _ in range(8):  # ConvNeXt blocks
+            g += 2 * T * (512 * 7                        # depthwise k7
+                          + 512 * 1536 + 1536 * 512) / 1e9
+        g += 2 * T * 512 * 1202 / 1e9                    # ISTFT head linear
+        g += 2 * T * 1202 * 1200 / 1e9                   # irfft as matmul
+    # prosody heads (shared BiLSTM + 2x3 AdainResBlk1d at F/M) ~ small
+    g += 2 * F * (640 * 1024 + 256 * 1024) / 1e9         # shared BiLSTM
+    g += 2 * (F * (512 * 512 * 3 * 2) + M * (512 * 256 * 3 * 2)
+              + M * (256 * 256 * 3 * 2)) * 2 / 1e9       # F0/N blocks
+    return g
+
+
+def main():
+    import jax
+
+    from styletts2_tpu.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    headline_dec = os.environ.get("BENCH_DECODER", "hifigan")
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    all_decoders = (os.environ.get("BENCH_ALL", "1") == "1")
+
+    per_decoder = {}
+    engines = {}
+    order = [headline_dec] + [d for d in ("hifigan", "istftnet", "vocos")
+                              if d != headline_dec and all_decoders]
+    for dec in order:
+        engine = build_engine(dec, dtype)
+        inv_rtf, p50_ms, audio_s = measure(engine)
+        gflops = decoder_gflops_per_audio_sec(dec)
+        # v5e bf16 peak ~394 TFLOPS/chip
+        mfu = inv_rtf * gflops / 394e3
+        per_decoder[dec] = {
+            "inv_rtf": round(inv_rtf, 2),
+            "p50_utterance_latency_ms": round(p50_ms, 2),
+            "gflops_per_audio_s": round(gflops, 2),
+            "mfu_pct": round(100 * mfu, 3),
+        }
+        engines[dec] = engine
+
+    # real (unpinned) duration path on the headline decoder: random weights
+    # predict unrealistically long durations; throughput is still reported
+    # so the headline number can be sanity-checked against the true path
+    eng = engines[headline_dec]
+    real_rtf, real_p50, _ = measure(eng, fixed_duration=None, reps=2,
+                                    lat_reps=5)
+
+    h = per_decoder[headline_dec]
     result = {
         "metric": "single-stream synthesis throughput (1/RTF), "
-                  f"{dec_type} decoder, {dtype}",
-        "value": round(inv_rtf, 2),
+                  f"{headline_dec} decoder, {dtype}",
+        "value": h["inv_rtf"],
         "unit": "x realtime (audio-sec/sec/chip)",
-        "vs_baseline": round(inv_rtf / 50.0, 3),
+        "vs_baseline": round(h["inv_rtf"] / 50.0, 3),
         "extra": {
-            "p50_utterance_latency_ms": round(p50_ms, 2),
+            "p50_utterance_latency_ms": h["p50_utterance_latency_ms"],
             "latency_target_ms": 200.0,
-            "utterance_audio_s": round(audio_s, 2),
+            "per_decoder": per_decoder,
+            "unpinned_duration_inv_rtf": round(real_rtf, 2),
+            "unpinned_duration_p50_ms": round(real_p50, 2),
             "device": str(jax.devices()[0]),
         },
     }

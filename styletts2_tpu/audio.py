@@ -15,31 +15,116 @@ on device via ops/stft.py.
 from __future__ import annotations
 
 import math
+import struct
 import wave as _wave
 from typing import Optional, Tuple
 
 import numpy as np
 
 
+def _parse_wav_header(data: bytes):
+    """RIFF/WAVE parse -> (fmt_tag, channels, sr, bits, data_off, data_len).
+
+    Handles PCM (1), IEEE float (3) and WAVE_FORMAT_EXTENSIBLE (0xFFFE,
+    resolved via the subformat GUID) — the stdlib `wave` module rejects
+    float and extensible files, which real corpora contain."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(data):
+        cid = data[pos: pos + 4]
+        size = int.from_bytes(data[pos + 4: pos + 8], "little")
+        body = pos + 8
+        if cid == b"fmt ":
+            tag, ch, sr = struct.unpack_from("<HHI", data, body)
+            bits = struct.unpack_from("<H", data, body + 14)[0]
+            if tag == 0xFFFE and size >= 40:  # extensible: real tag in GUID
+                tag = struct.unpack_from("<H", data, body + 24)[0]
+            fmt = (tag, ch, sr, bits)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            return fmt + (body, min(size, len(data) - body))
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("WAV file has no data chunk")
+
+
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
-    """Read a PCM/float WAV file -> (float32 mono samples in [-1, 1], sr)."""
-    with _wave.open(path, "rb") as f:
-        sr = f.getframerate()
-        n = f.getnframes()
-        ch = f.getnchannels()
-        width = f.getsampwidth()
-        raw = f.readframes(n)
-    if width == 2:
-        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
-    elif width == 4:
-        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
-    elif width == 1:
-        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    """Read a WAV file -> (float32 mono samples in [-1, 1], sample rate).
+
+    PCM 8/16/24/32-bit int + 32/64-bit IEEE float (reference reads via
+    soundfile, meldataset.py:101; first channel of multi-channel audio,
+    meldataset.py:104-105)."""
+    with open(path, "rb") as f:
+        raw_all = f.read()
+    tag, ch, sr, bits, off, length = _parse_wav_header(raw_all)
+    raw = raw_all[off: off + length]
+    if tag == 3:  # IEEE float
+        if bits == 32:
+            data = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+        elif bits == 64:
+            data = np.frombuffer(raw, dtype="<f8").astype(np.float32)
+        else:
+            raise ValueError(f"unsupported float WAV bit depth {bits}")
+    elif tag == 1:  # PCM
+        if bits == 16:
+            data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        elif bits == 32:
+            data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+        elif bits == 8:
+            data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+                    - 128.0) / 128.0
+        elif bits == 24:
+            b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+            v = (b[:, 0].astype(np.int32) | (b[:, 1].astype(np.int32) << 8)
+                 | (b[:, 2].astype(np.int32) << 16))
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            data = v.astype(np.float32) / 8388608.0
+        else:
+            raise ValueError(f"unsupported PCM WAV bit depth {bits}")
     else:
-        raise ValueError(f"unsupported WAV sample width {width}")
+        raise ValueError(f"unsupported WAV format tag {tag}")
     if ch > 1:
-        data = data.reshape(-1, ch)[:, 0]  # first channel (meldataset.py:104-105)
+        data = data.reshape(-1, ch)[:, 0]
     return data, sr
+
+
+def read_audio(path: str) -> Tuple[np.ndarray, int]:
+    """Read WAV or FLAC by magic bytes -> (float32 mono, sr)."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"fLaC":
+        from styletts2_tpu.flac import read_flac
+
+        return read_flac(path)
+    return read_wav(path)
+
+
+def probe_duration_samples(path: str, target_sr: int) -> int:
+    """Sample count at target_sr from the header only (no full decode) —
+    feeds the duration-binned sampler (reference get_length,
+    meldataset.py:181-183, via soundfile.info)."""
+    with open(path, "rb") as f:
+        head = f.read(4)
+    if head == b"fLaC":
+        from styletts2_tpu.flac import probe_flac_info
+
+        n, sr = probe_flac_info(path)
+    else:
+        with open(path, "rb") as f:
+            data = f.read(1 << 16)  # headers live in the first chunk
+        try:
+            tag, ch, sr, bits, off, _ = _parse_wav_header(data)
+        except ValueError:
+            with open(path, "rb") as f:
+                data = f.read()
+            tag, ch, sr, bits, off, _ = _parse_wav_header(data)
+        import os as _os
+
+        nbytes = _os.path.getsize(path) - off
+        n = nbytes // (ch * (bits // 8))
+    return int(n * (target_sr / sr))
 
 
 def write_wav(path: str, wav: np.ndarray, sr: int = 24000) -> None:

@@ -13,8 +13,6 @@ bottleneck.
 from __future__ import annotations
 
 import os
-import struct
-import wave as _wave
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -38,10 +36,9 @@ def parse_data_list(lines: Sequence[str]) -> List[Tuple[str, str]]:
 
 
 def wav_duration_samples_24k(path: str) -> int:
-    """Fast length probe from the WAV header (reference get_length,
+    """Fast length probe from the WAV/FLAC header (reference get_length,
     meldataset.py:181-183, via soundfile.info)."""
-    with _wave.open(path, "rb") as f:
-        return int(f.getnframes() * (SR / f.getframerate()))
+    return AUD.probe_duration_samples(path, SR)
 
 
 class FilePathDataset:
@@ -63,7 +60,7 @@ class FilePathDataset:
 
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray, str]:
         path, text = self.data_list[idx]
-        wave, in_sr = AUD.read_wav(os.path.join(self.root_path, path))
+        wave, in_sr = AUD.read_audio(os.path.join(self.root_path, path))
         if in_sr != self.sr:
             wave = AUD.resample(wave, in_sr, self.sr)
         wave = np.concatenate([np.zeros(PAD_SAMPLES, np.float32), wave,

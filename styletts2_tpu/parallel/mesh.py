@@ -46,7 +46,16 @@ def data_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch, axis: str = "dp"):
     """Place a host batch (pytree of arrays with a leading batch dim) onto
-    the mesh, sharded along the batch axis."""
+    the mesh, sharded along the batch axis.
+
+    Multi-host: each process passes its LOCAL shard (the duration-binned
+    sampler already hands out disjoint per-rank batches) and a global array
+    is assembled across processes — the batch axis spans DCN while the
+    gradient all-reduce rides ICI within each host."""
     sharding = data_sharding(mesh, axis)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), batch)
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch)
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), batch)

@@ -206,8 +206,13 @@ def generator_losses(params: Dict[str, Any], batch: Batch, mels: jnp.ndarray,
         jnp.maximum(step_valid.sum(axis=1), 1)
     loss_s2s = per_sample_s2s.sum() / b
 
-    loss_mono = jnp.mean(jnp.abs(aux["s2s_attn"]
-                                 - aux["s2s_attn_mono"])) * 10.0
+    # reference train.py:307: F.l1_loss over tensors padded to the BATCH
+    # max (not our static bucket) — |diff| is zero at its padding, so the
+    # exact equivalent is sum over valid / (B * maxT * maxL_half)
+    mono_diff = jnp.abs(aux["s2s_attn"] - aux["s2s_attn_mono"]).sum()
+    denom = (b * jnp.max(batch.input_lengths)
+             * jnp.max(batch.mel_lengths // 2)).astype(jnp.float32)
+    loss_mono = mono_diff / denom * 10.0
 
     g_loss = (lp.lambda_mel * loss_mel + lp.lambda_F0 * loss_f0
               + lp.lambda_ce * loss_ce + lp.lambda_norm * loss_norm

@@ -68,7 +68,7 @@ def main(argv=None) -> None:
     import jax.numpy as jnp
 
     from styletts2_tpu.cache import enable_compilation_cache
-    from styletts2_tpu.parallel import make_mesh
+    from styletts2_tpu.parallel import make_mesh, shard_batch
     from styletts2_tpu.checkpoint import (apply_checkpoint, load_checkpoint,
                                           save_checkpoint)
     from styletts2_tpu.config import load_config
@@ -87,7 +87,15 @@ def main(argv=None) -> None:
                     help="capture a jax.profiler trace of steps 10-15")
     ap.add_argument("--nan-action", default="raise",
                     choices=["raise", "skip", "ignore"])
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host: jax.distributed.initialize() from the "
+                         "standard env (COORDINATOR_ADDRESS etc.); the "
+                         "duration-binned sampler shards per process over "
+                         "DCN (reference meldataset.py:239-246 interface)")
     args = ap.parse_args(argv)
+
+    if args.distributed:
+        jax.distributed.initialize()
 
     enable_compilation_cache()
     cfg = load_config(args.config_path)
@@ -110,12 +118,18 @@ def main(argv=None) -> None:
     logger.info("mesh: %d-way data parallel on %s", mesh.size,
                 jax.devices()[0])
 
+    # per-host input sharding over DCN: each process draws its own disjoint
+    # shard of every duration bin (the reference's DistributedSampler-
+    # within-bin interface, meldataset.py:239-246, which its train.py pins
+    # to (1, 0) — multi-host is first-class here)
     train_loader = build_dataloader(
         train_list, cfg.data_params.root_path, symbol_dict,
-        batch_size=cfg.batch_size, debug=cfg.debug)
+        batch_size=cfg.batch_size, debug=cfg.debug,
+        num_replicas=jax.process_count(), rank=jax.process_index())
     val_loader = build_dataloader(
         val_list, cfg.data_params.root_path, symbol_dict, validation=True,
-        batch_size=cfg.batch_size, debug=cfg.debug)
+        batch_size=cfg.batch_size, debug=cfg.debug,
+        num_replicas=jax.process_count(), rank=jax.process_index())
 
     params = build_model(jax.random.PRNGKey(0), cfg.model_params)
     opt = MultiOptimizer(params, lr=cfg.optimizer_params.lr,
@@ -203,10 +217,10 @@ def main(argv=None) -> None:
         train_loader.sampler.set_epoch(epoch)
         for i, (bin_id, nb) in enumerate(train_loader):
             rng, step_key = jax.random.split(rng)
-            batch = Batch(waves=jnp.asarray(nb.waves),
-                          texts=jnp.asarray(nb.texts),
-                          input_lengths=jnp.asarray(nb.input_lengths),
-                          mel_lengths=jnp.asarray(nb.mel_lengths))
+            batch = shard_batch(mesh, Batch(
+                waves=nb.waves, texts=nb.texts,
+                input_lengths=nb.input_lengths,
+                mel_lengths=nb.mel_lengths))
             profiling = (args.profile_dir and epoch == start_epoch
                          and 10 <= i < 15)
             with trace(args.profile_dir if profiling else None):
@@ -237,7 +251,7 @@ def main(argv=None) -> None:
                     m["s2s"], m["mono"], time.time() - start_time)
                 for k, v in m.items():
                     writer.add_scalar(f"train/{k}", v, iters)
-            if iters % 1000 == 0:
+            if iters % 1000 == 0 and jax.process_index() == 0:
                 save_checkpoint(os.path.join(log_dir, "current_model.ckpt"),
                                 params, opt_states, iters=iters, epoch=epoch)
 
@@ -263,7 +277,7 @@ def main(argv=None) -> None:
             writer.add_scalar("eval/F0_loss", tot["f0"] / n_eval, epoch + 1)
             best_loss = min(best_loss, tot["mel"] / n_eval)
 
-        if (epoch + 1) % cfg.save_freq == 0:
+        if (epoch + 1) % cfg.save_freq == 0 and jax.process_index() == 0:
             save_checkpoint(
                 os.path.join(log_dir, f"epoch_{epoch:05d}.ckpt"),
                 params, opt_states, iters=iters, epoch=epoch,

@@ -71,12 +71,16 @@ def install():
                 self.register_buffer("window", window_fn(self.win_length))
 
             def forward(self, wav):
-                spec = torch.stft(wav, self.n_fft, hop_length=self.hop_length,
+                # torchaudio accepts (..., L); torch.stft only <= 2D
+                shape = wav.shape
+                spec = torch.stft(wav.reshape(-1, shape[-1]), self.n_fft,
+                                  hop_length=self.hop_length,
                                   win_length=self.win_length, window=self.window,
                                   center=True, pad_mode="reflect",
                                   return_complex=True)
                 power = spec.real ** 2 + spec.imag ** 2
-                return torch.matmul(self.fb.T, power)
+                out = torch.matmul(self.fb.T, power)
+                return out.reshape(shape[:-1] + out.shape[-2:])
 
         class Resample(torch.nn.Module):
             def __init__(self, orig_freq, new_freq):
