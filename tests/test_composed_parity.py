@@ -160,11 +160,18 @@ def test_composed_inference_parity(monkeypatch):
 
 
 def _ref_train_losses(mods, waves, texts, input_lengths, mel_input_length,
-                      mels, crop, loss_fns):
+                      mels, crop, loss_fns, attn_override=None):
     """Transcription of one reference train step's nine losses
     (train.py:202-315), eval-mode deterministic: mono attention branch
     (the 50% coin), crop offset 0 (mel lengths chosen so 0 is the only
-    valid offset), no dropout/unk-masking."""
+    valid offset), no dropout/unk-masking.
+
+    attn_override: replaces the aligner's soft attention on both sides of
+    the comparison — with random weights the attention is near-uniform, so
+    the monotonic DP path flips under float differences inside the ASR
+    module's own parity tolerance (~5e-3); a peaked synthetic attention
+    makes the composed comparison well-conditioned while still exercising
+    every loss and the crop/denominator bookkeeping."""
     from models import TextEncoder
 
     dl, gl, stft_loss = loss_fns
@@ -178,6 +185,8 @@ def _ref_train_losses(mods, waves, texts, input_lengths, mel_input_length,
         s2s_attn = s2s_attn.transpose(-1, -2)
         s2s_attn = s2s_attn[..., 1:]
         s2s_attn = s2s_attn.transpose(-1, -2)
+        if attn_override is not None:
+            s2s_attn = torch.from_numpy(attn_override)
 
         # mask_from_lens + maximum_path (train.py:213-214) via our DP
         # (== the reference's Cython kernel; tests/test_align.py)
@@ -306,10 +315,21 @@ def test_composed_train_losses_parity(monkeypatch):
     mels = torch.from_numpy(np.asarray(mels_j))
     assert mels.shape[-1] == t_mel
 
+    # identical peaked soft attention injected on BOTH sides (see
+    # _ref_train_losses docstring): diagonal gaussian, masked, frame-softmax
+    l_half = t_mel // 2
+    ii = np.arange(t_text)[None, :, None]
+    jj = np.arange(l_half)[None, None, :]
+    centers = (jj + 0.5) * lens_np[:, None, None] / l_half - 0.5
+    logits = -0.5 * ((ii - centers) / 0.7) ** 2
+    logits = np.where(ii < lens_np[:, None, None], logits, -1e9)
+    synth = np.exp(logits - logits.max(axis=1, keepdims=True))
+    synth = (synth / synth.sum(axis=1, keepdims=True)).astype(np.float32)
+
     ref = _ref_train_losses(
         mods, torch.from_numpy(waves_np), torch.from_numpy(texts_np),
         torch.from_numpy(lens_np), torch.full((b,), t_mel, dtype=torch.long),
-        mels, crop, (dl, gl, stft_loss))
+        mels, crop, (dl, gl, stft_loss), attn_override=synth)
 
     # --- our side: identical weights, same deterministic branch ----------
     params = {k: module_to_tree(m) for k, m in mods.items()}
@@ -325,10 +345,27 @@ def test_composed_train_losses_parity(monkeypatch):
     monkeypatch.setattr(
         jax.random, "bernoulli",
         lambda *a, **k: jnp.asarray(False))
-    orig_uniform = jax.random.uniform
     monkeypatch.setattr(
         jax.random, "uniform",
         lambda key, shape=(), *a, **k: jnp.zeros(shape))
+    # inject the same synthetic attention into our aligner output (the
+    # aligner's own numerics are parity-tested in test_asr_s2s_parity)
+    from styletts2_tpu.nn import asr as ASR_mod
+
+    orig_asr_forward = ASR_mod.forward
+
+    def patched_asr_forward(p, mels_, mel_pad_mask, texts_, rng=None,
+                            train=False):
+        ctc, s2s_pred_o, attn_full = orig_asr_forward(
+            p, mels_, mel_pad_mask, texts_, rng=rng, train=train)
+        attn_full = jnp.concatenate(
+            [attn_full[:, :1, :], jnp.asarray(synth)], axis=1)
+        return ctc, s2s_pred_o, attn_full
+
+    monkeypatch.setattr(ASR_mod, "forward", patched_asr_forward)
+    import styletts2_tpu.train as TR_mod
+
+    monkeypatch.setattr(TR_mod.ASR, "forward", patched_asr_forward)
 
     mels_ours = TR.compute_mels(batch.waves, cfg.model_params,
                                 cfg.preprocess_params.spect_params)
