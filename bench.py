@@ -41,9 +41,7 @@ def build_engine(dec_type: str, dtype: str):
     cfg = load_config({
         "model_params": {"decoder": {"type": dec_type}},
         "tpu": {"decoder_dtype": dtype,
-                "token_buckets": [32, 64, 96, 128, 192, 256],
-                "frame_buckets": [100, 200, 300, 400, 600, 800, 1200,
-                                  1600, 2400]},
+                "token_buckets": [32, 64, 96, 128, 192, 256]},
         "debug": False,
     })
     engine = StyleTTS2(cfg, seed=0)

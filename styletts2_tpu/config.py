@@ -161,9 +161,15 @@ class TPUConfig:
     dp: int = -1
     # Compute dtype for the vocoder hot path ("bfloat16" | "float32").
     decoder_dtype: str = "bfloat16"
-    # Static-shape buckets used by the inference engine.
+    # Static-shape buckets used by the inference engine. Frame buckets are
+    # ~1.13x-spaced: padding waste (compute AND device->host audio bytes)
+    # stays under ~12% while graphs are compiled lazily per bucket actually
+    # hit (the persistent compilation cache amortizes across processes).
     token_buckets: Tuple[int, ...] = (32, 64, 96, 128, 192, 256, 384, 512)
-    frame_buckets: Tuple[int, ...] = (100, 200, 300, 400, 600, 800, 1200, 1600, 2400)
+    frame_buckets: Tuple[int, ...] = (
+        104, 128, 152, 176, 200, 224, 256, 304, 352, 400, 456, 512, 576,
+        648, 728, 800, 904, 1000, 1128, 1272, 1448, 1600, 1800, 2000,
+        2200, 2400)
 
 
 @dataclass

@@ -57,6 +57,24 @@ def _bucket(buckets, n: int) -> int:
     return buckets[i]
 
 
+def _partition_exact(idxs, sizes):
+    """Split a work list into groups whose lengths are exactly compiled
+    batch sizes (descending greedy over `sizes`, e.g. 6 -> [4, 2]).
+
+    Padding a group of 6 chunks up to a compiled batch of 8 wastes 33% of
+    vocoder compute; one extra dispatch (~35 ms) is far cheaper than one
+    wasted multi-second batch row."""
+    out = []
+    pos = 0
+    remaining = len(idxs)
+    while remaining > 0:
+        take = next(s for s in sorted(sizes, reverse=True) if s <= remaining)
+        out.append(idxs[pos: pos + take])
+        pos += take
+        remaining -= take
+    return out
+
+
 class StyleTTS2:
     """Zero-shot TTS engine (reference inference.StyleTTS2)."""
 
@@ -329,9 +347,8 @@ class StyleTTS2:
         d_of = [None] * n_chunks
         dur_dev_of = [None] * n_chunks
         for tb, idxs in by_tb.items():
-            for part in range(0, len(idxs), self.max_batch):
-                group = idxs[part: part + self.max_batch]
-                bb = _bucket(self.batch_buckets, len(group))
+            for group in _partition_exact(idxs, self.batch_buckets):
+                bb = len(group)
                 tokens = np.zeros((bb, tb), np.int32)
                 mask = np.zeros((bb, tb), bool)
                 for row, i in enumerate(group):
@@ -345,14 +362,20 @@ class StyleTTS2:
                     d_of[i] = (d, row)
                     dur_dev_of[i] = (dur, row)
 
-        # host sync: duration chain (order-dependent via prev_d_mean)
+        # host sync: duration chain (order-dependent via prev_d_mean).
+        # fetch each distinct phase-1 batch buffer ONCE — every device->host
+        # copy is a full tunnel round trip (~10s of ms on a remote chip)
+        host_dur: Dict[int, np.ndarray] = {}
+        for dur_dev, _row in dur_dev_of:
+            if id(dur_dev) not in host_dur:
+                host_dur[id(dur_dev)] = np.asarray(dur_dev)
         means: List[float] = []
         pred_of = [None] * n_chunks
         total_of = [0] * n_chunks
         fb_of = [0] * n_chunks
         for i in range(n_chunks):
             dur_dev, row = dur_dev_of[i]
-            duration = np.array(dur_dev)[row, : len(tokenized[i])]
+            duration = host_dur[id(dur_dev)][row, : len(tokenized[i])]
             pred_dur, total, prev_d_mean = self._postprocess_durations(
                 duration, speed, prev_d_mean, t)
             means.append(prev_d_mean)
@@ -360,22 +383,40 @@ class StyleTTS2:
             total_of[i] = total
             fb_of[i] = _bucket(self.cfg.tpu.frame_buckets, total)
 
-        # wave 2: batch chunks with the same (token, frame) buckets through
-        # ONE phase-2 call
-        by_tf: Dict[Tuple[int, int], List[int]] = {}
+        # wave 2: batch chunks with the same FRAME bucket through ONE
+        # phase-2 call — the token dim is padded to the group max (a
+        # zero-duration token contributes nothing to the alignment matmuls,
+        # so mixing token buckets in one call is exact) to keep batches
+        # large: phase-2 carries a serial BiLSTM scan whose cost is
+        # per-call, not per-row
+        by_f: Dict[int, List[int]] = {}
         for i in range(n_chunks):
-            by_tf.setdefault((tbs[i], fb_of[i]), []).append(i)
+            by_f.setdefault(fb_of[i], []).append(i)
 
         wav_dev_of = [None] * n_chunks
-        for (tb, fb), idxs in by_tf.items():
-            for part in range(0, len(idxs), self.max_batch):
-                group = idxs[part: part + self.max_batch]
-                bb = _bucket(self.batch_buckets, len(group))
-                rows = [group[min(r, len(group) - 1)] for r in range(bb)]
-                t_en = jnp.stack([t_en_of[i][0][t_en_of[i][1]] for i in rows])
-                d = jnp.stack([d_of[i][0][d_of[i][1]] for i in rows])
+        for fb, idxs in by_f.items():
+            for group in _partition_exact(idxs, self.batch_buckets):
+                bb = len(group)
+                tb = max(tbs[i] for i in group)
+                srcs = [t_en_of[i] for i in group]
+                if (srcs[0][0].shape[0] == bb
+                        and all(s[0] is srcs[0][0] for s in srcs)
+                        and [s[1] for s in srcs] == list(range(bb))):
+                    # the group is exactly one phase-1 batch, in order —
+                    # reuse its outputs without device gather/stack ops
+                    t_en = srcs[0][0]
+                    d = d_of[group[0]][0]
+                else:
+                    def _row(of, i):
+                        arr = of[i][0][of[i][1]]  # (tb_i, C)
+                        if arr.shape[0] < tb:
+                            arr = jnp.pad(
+                                arr, ((0, tb - arr.shape[0]), (0, 0)))
+                        return arr
+                    t_en = jnp.stack([_row(t_en_of, i) for i in group])
+                    d = jnp.stack([_row(d_of, i) for i in group])
                 durs = np.zeros((bb, tb), np.int32)
-                for row, i in enumerate(rows):
+                for row, i in enumerate(group):
                     durs[row, : len(pred_of[i])] = pred_of[i]
                 sb = jnp.broadcast_to(s, (bb,) + s.shape[1:])
                 wav = self._phase2(self.params, t_en, d, sb,
@@ -383,9 +424,14 @@ class StyleTTS2:
                 for row, i in enumerate(group):
                     wav_dev_of[i] = (wav, row)
 
-        # final sync: fetch + slice (+ int16 -> float32 on host)
-        wavs = [np.asarray(wav_dev_of[i][0])[wav_dev_of[i][1],
-                                             : total_of[i] * 2 * self.hop]
+        # final sync: fetch each distinct phase-2 batch buffer once, then
+        # slice per chunk (+ int16 -> float32 on host)
+        host_wav: Dict[int, np.ndarray] = {}
+        for wav_dev, _row in wav_dev_of:
+            if id(wav_dev) not in host_wav:
+                host_wav[id(wav_dev)] = np.asarray(wav_dev)
+        wavs = [host_wav[id(wav_dev_of[i][0])][wav_dev_of[i][1],
+                                               : total_of[i] * 2 * self.hop]
                 .astype(np.float32) / 32767.0
                 for i in range(n_chunks)]
         return wavs, means

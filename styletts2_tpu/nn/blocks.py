@@ -10,6 +10,7 @@ Channels-last activations; params mirror torch state_dict names.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
@@ -121,25 +122,22 @@ def adain_res_blk1d_apply(p, x: jnp.ndarray, s: jnp.ndarray,
         sc = L.conv1d_apply(p["conv1x1"], sc)
 
     # residual
-    h = L.adain_1d_apply(p["norm1"], x, s, mask)
-    h = L.leaky_relu(h, slope)
+    h = L.adain_1d_act_apply(p["norm1"], x, s, mask, act="lrelu", slope=slope)
     if upsample:
-        if mask is not None:
-            h = jnp.where(mask[..., None], h, 0.0)
         h = L.conv_transpose1d_apply(p["pool"], h, stride=2, padding=1,
                                      output_padding=1, groups=h.shape[-1])
         cur_mask = out_mask
     else:
         cur_mask = mask
     h = L.dropout(h, dropout_p, train, r1)
-    if cur_mask is not None:
+    if cur_mask is not None and upsample:
+        # the pool conv's bias re-populates padded positions; dropout
+        # preserves zeros, so this is the only re-zeroing needed
         h = jnp.where(cur_mask[..., None], h, 0.0)
     h = L.conv1d_apply(p["conv1"], h, padding=1)
-    h = L.adain_1d_apply(p["norm2"], h, s, cur_mask)
-    h = L.leaky_relu(h, slope)
+    h = L.adain_1d_act_apply(p["norm2"], h, s, cur_mask, act="lrelu",
+                             slope=slope)
     h = L.dropout(h, dropout_p, train, r2)
-    if cur_mask is not None:
-        h = jnp.where(cur_mask[..., None], h, 0.0)
     h = L.conv1d_apply(p["conv2"], h, padding=1)
 
     return (h + sc) / SQRT2
@@ -181,23 +179,71 @@ def _alpha_cl(a: jnp.ndarray, dtype) -> jnp.ndarray:
     return jnp.swapaxes(a, 1, 2).astype(dtype)
 
 
+def _adain_affine(p_adain, x: jnp.ndarray, s: jnp.ndarray,
+                  mask: Optional[jnp.ndarray]):
+    """Collapse AdaIN into per-(batch, channel) scale/shift:
+    (1+gamma)*IN(x)+beta == x*scale + shift with scale=(1+gamma)*rsqrt(var),
+    shift=beta-mean*scale. Stats over the masked region (two-pass)."""
+    h = L.linear_apply(p_adain["fc"], s.astype(jnp.float32))
+    gamma, beta = jnp.split(h, 2, axis=-1)
+    xf = x.astype(jnp.float32)
+    if mask is None:
+        mean = xf.mean(axis=1)
+        var = ((xf - mean[:, None, :]) ** 2).mean(axis=1)
+    else:
+        m = mask.astype(jnp.float32)[..., None]
+        n = jnp.maximum(m.sum(axis=1), 1.0)
+        mean = (xf * m).sum(axis=1) / n
+        var = (jnp.square(xf - mean[:, None, :]) * m).sum(axis=1) / n
+    scale = (1.0 + gamma) * jax.lax.rsqrt(var + 1e-5)
+    return scale, beta - mean * scale
+
+
 def adain_res_block1_apply(p, x: jnp.ndarray, s: jnp.ndarray,
                            kernel_size: int, dilation=(1, 3, 5),
-                           mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """x: (B, T, C); the weight-norm convs keep T (SAME padding)."""
+                           mask: Optional[jnp.ndarray] = None,
+                           n_valid: Optional[jnp.ndarray] = None
+                           ) -> jnp.ndarray:
+    """x: (B, T, C); the weight-norm convs keep T (SAME padding).
+
+    When `n_valid` is given (prefix-mask lengths, inference on TPU), each
+    AdaIN+Snake+conv group runs as one fused Pallas kernel
+    (ops/vocoder_pallas.py); otherwise the XLA path (training, CPU, or
+    non-prefix masks)."""
+    # Opt-in: the fused Pallas kernel measures only 1.02-1.17x vs the
+    # XLA-fused path for C>=64 (0.8x at C=32 — underfilled 128-lane tiles)
+    # but costs minutes of extra compile time per phase-2 graph through a
+    # remote-compile service, so the XLA path stays the default.
+    use_pallas = (os.environ.get("STYLETTS2_TPU_VOCODER_PALLAS") == "1"
+                  and n_valid is not None
+                  and jax.default_backend() == "tpu"
+                  and "weight" in p["convs1"]["0"]  # fused weight norm only
+                  and x.shape[-1] >= 64)
     for i, d in enumerate(dilation):
         si = str(i)
         pad1 = (kernel_size * d - d) // 2
         pad2 = (kernel_size - 1) // 2
-        xt = L.adain_1d_apply(p["adain1"][si], x, s, mask)
-        xt = L.snake(xt, _alpha_cl(p["alpha1"][si], xt.dtype))
-        if mask is not None:
-            xt = jnp.where(mask[..., None], xt, 0.0)
+        if use_pallas:
+            from styletts2_tpu.ops import vocoder_pallas as VP
+            sc1, sh1 = _adain_affine(p["adain1"][si], x, s, mask)
+            xt = VP.fused_ada_snake_conv(
+                x, sc1, sh1, jnp.asarray(p["alpha1"][si]).ravel(),
+                p["convs1"][si]["weight"], p["convs1"][si]["bias"], d,
+                n_valid)
+            if xt is not None:
+                sc2, sh2 = _adain_affine(p["adain2"][si], xt, s, mask)
+                xt = VP.fused_ada_snake_conv(
+                    xt, sc2, sh2, jnp.asarray(p["alpha2"][si]).ravel(),
+                    p["convs2"][si]["weight"], p["convs2"][si]["bias"], 1,
+                    n_valid)
+            if xt is not None:
+                x = xt + x
+                continue
+        xt = L.adain_1d_act_apply(p["adain1"][si], x, s, mask, act="snake",
+                                  alpha=_alpha_cl(p["alpha1"][si], x.dtype))
         xt = L.conv1d_apply(p["convs1"][si], xt, padding=pad1, dilation=d)
-        xt = L.adain_1d_apply(p["adain2"][si], xt, s, mask)
-        xt = L.snake(xt, _alpha_cl(p["alpha2"][si], xt.dtype))
-        if mask is not None:
-            xt = jnp.where(mask[..., None], xt, 0.0)
+        xt = L.adain_1d_act_apply(p["adain2"][si], xt, s, mask, act="snake",
+                                  alpha=_alpha_cl(p["alpha2"][si], x.dtype))
         xt = L.conv1d_apply(p["convs2"][si], xt, padding=pad2, dilation=1)
         x = xt + x
     return x

@@ -157,11 +157,26 @@ def hifigan_generator_apply(p, x: jnp.ndarray, s: jnp.ndarray,
     f0_up = jnp.swapaxes(f0_up, 1, 2)  # (B, L, 1)
     har_source, _ = source_module_apply(p["m_source"], f0_up, k_src, total_up)
 
+    t0 = frame_mask.shape[1] if frame_mask is not None else 0
+    n_val = (frame_mask.sum(axis=1, dtype=jnp.int32)
+             if frame_mask is not None else None)
+
     def stage_mask(i):
+        """Valid mask at stage i's rate, built as an iota comparison (fuses
+        into consumers) rather than a materialized repeat of the bool mask.
+        Exact because the mel mask is a prefix mask (alignment is causal)."""
         if frame_mask is None:
             return None
         f = int(np.prod(rates[:i])) if i > 0 else 1
-        return jnp.repeat(frame_mask, f, axis=1)
+        pos = jnp.arange(t0 * f, dtype=jnp.int32)[None, :]
+        return pos < (n_val * f)[:, None]
+
+    def stage_count(i):
+        """Valid prefix length at stage i's rate (for the fused kernels)."""
+        if frame_mask is None:
+            return None
+        f = int(np.prod(rates[:i])) if i > 0 else 1
+        return n_val * f
 
     sample_mask = stage_mask(n_up)
     if sample_mask is not None:
@@ -185,7 +200,8 @@ def hifigan_generator_apply(p, x: jnp.ndarray, s: jnp.ndarray,
                                       har_source.astype(x.dtype))
         x_source = B.adain_res_block1_apply(
             p["noise_res"][str(i)], x_source, s,
-            7 if i + 1 < n_up else 11, (1, 3, 5), m_out)
+            7 if i + 1 < n_up else 11, (1, 3, 5), m_out,
+            n_valid=stage_count(i + 1))
         x = L.conv_transpose1d_apply(p["ups"][str(i)], x, stride=u,
                                      padding=u // 2 + u % 2,
                                      output_padding=u % 2)
@@ -195,7 +211,8 @@ def hifigan_generator_apply(p, x: jnp.ndarray, s: jnp.ndarray,
             r = B.adain_res_block1_apply(
                 p["resblocks"][str(i * n_kernels + j)], x, s,
                 cfg.resblock_kernel_sizes[j],
-                tuple(cfg.resblock_dilation_sizes[j]), m_out)
+                tuple(cfg.resblock_dilation_sizes[j]), m_out,
+                n_valid=stage_count(i + 1))
             xs = r if xs is None else xs + r
         x = xs / n_kernels
     x = L.snake(x, B._alpha_cl(p["alphas"][str(n_up)], x.dtype))
@@ -290,6 +307,13 @@ def decoder_apply(p, cfg: DecoderConfig, asr: jnp.ndarray,
 
     f0 = L.conv1d_apply(p["F0_conv"], f0_curve[..., None], stride=2, padding=1)
     nn_ = L.conv1d_apply(p["N_conv"], n[..., None], stride=2, padding=1)
+
+    # run the shell in asr's dtype: f0_curve/n arrive f32 (the sine source
+    # needs f32 pitch), but concatenating f32 curves with a bf16 asr would
+    # promote every 1024-channel shell conv to f32 — measured 10x+ slower
+    # on v5e than the bf16 MXU path
+    f0 = f0.astype(asr.dtype)
+    nn_ = nn_.astype(asr.dtype)
 
     x = jnp.concatenate([asr, f0, nn_], axis=-1)
     x = B.adain_res_blk1d_apply(p["encode"], x, s, mask=frame_mask)

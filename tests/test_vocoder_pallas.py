@@ -1,0 +1,91 @@
+"""Fused vocoder kernel (ops/vocoder_pallas.py) vs the XLA path.
+
+Runs the Pallas kernel in interpreter mode on CPU and checks it against the
+unfused ops it replaces (blocks.adain_res_block1_apply's XLA path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from styletts2_tpu.nn import blocks as B
+from styletts2_tpu.nn import layers as L
+from styletts2_tpu.ops import vocoder_pallas as VP
+
+
+def _xla_reference(x, scale, shift, alpha, w, bias, dilation, n_valid,
+                   use_snake=True):
+    t = x.shape[1]
+    z = x.astype(jnp.float32) * scale[:, None, :] + shift[:, None, :]
+    z = z.astype(x.dtype)
+    if use_snake:
+        a = alpha.reshape(1, 1, -1).astype(z.dtype)
+        sn = jnp.sin(a * z)
+        z = z + (1.0 / a) * (sn * sn)
+    mask = jnp.arange(t)[None, :] < n_valid[:, None]
+    z = jnp.where(mask[..., None], z, 0)
+    k = w.shape[2]
+    pad = dilation * (k - 1) // 2
+    return L.conv1d_apply({"weight": w, "bias": bias}, z, padding=pad,
+                          dilation=dilation)
+
+
+@pytest.mark.parametrize("c,k,dilation,t", [(64, 11, 5, 400), (32, 3, 1, 600),
+                                            (128, 7, 3, 2000)])
+def test_fused_kernel_matches_xla(c, k, dilation, t):
+    rng = np.random.default_rng(0)
+    b = 2
+    x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal((b, c)) * 0.5 + 1.0, jnp.float32)
+    shift = jnp.asarray(rng.standard_normal((b, c)) * 0.1, jnp.float32)
+    alpha = jnp.asarray(np.abs(rng.standard_normal(c)) + 0.5, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((c, c, k)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(c) * 0.01, jnp.float32)
+    n_valid = jnp.asarray([t, t - 137], jnp.int32)
+
+    got = VP.fused_ada_snake_conv(x, scale, shift, alpha, w, bias, dilation,
+                                  n_valid, interpret=True)
+    assert got is not None
+    want = _xla_reference(x, scale, shift, alpha, w, bias, dilation, n_valid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_adain_affine_collapse_matches_fused_apply():
+    """scale/shift collapse == adain_1d_act_apply (the XLA fused op)."""
+    rng = np.random.default_rng(1)
+    b, t, c, sd = 2, 80, 48, 16
+    key = jax.random.PRNGKey(0)
+    p = L.adain_1d_init(key, sd, c)
+    x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal((b, sd)), jnp.float32)
+    mask = jnp.arange(t)[None, :] < jnp.asarray([t, t - 17])[:, None]
+    alpha = jnp.asarray(np.abs(rng.standard_normal(c)) + 0.5, jnp.float32)
+
+    scale, shift = B._adain_affine(p, x, s, mask)
+    z = x * scale[:, None, :] + shift[:, None, :]
+    a = alpha.reshape(1, 1, -1)
+    z = z + (1.0 / a) * jnp.sin(a * z) ** 2
+    z = jnp.where(mask[..., None], z, 0.0)
+
+    want = L.adain_1d_act_apply(p, x, s, mask, act="snake",
+                                alpha=alpha.reshape(1, 1, -1))
+    np.testing.assert_allclose(np.asarray(z), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_block_prefers_pallas_only_on_tpu():
+    """On CPU the gate must route to the XLA path (no pallas lowering)."""
+    rng = np.random.default_rng(2)
+    b, t, c, sd = 1, 200, 32, 16
+    key = jax.random.PRNGKey(3)
+    p = B.adain_res_block1_init(key, c, 3, (1, 3, 5), sd)
+    from styletts2_tpu.convert import fuse_weight_norm
+    p = fuse_weight_norm({"m": p})["m"]
+    x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal((b, sd)), jnp.float32)
+    n_valid = jnp.asarray([150], jnp.int32)
+    mask = jnp.arange(t)[None, :] < n_valid[:, None]
+    out = B.adain_res_block1_apply(p, x, s, 3, (1, 3, 5), mask,
+                                   n_valid=n_valid)
+    assert np.isfinite(np.asarray(out)).all()
