@@ -114,6 +114,10 @@ class StyleTTS2:
                 params = fresh  # random weights (benching / smoke tests)
         params = {k: params[k] for k in INFERENCE_MODULES}
         params = fuse_weight_norm(params)
+        # precompute time-folded conv weights for the low-channel vocoder
+        # stages (free-reshape space-to-depth; see nn/blocks.py)
+        params["decoder"] = DE.prefold_generator_params(
+            params["decoder"], mp.decoder)
         # one bulk host->device transfer (per-tensor transfers over a
         # tunneled TPU cost minutes)
         params = jax.device_put(params)
@@ -334,7 +338,10 @@ class StyleTTS2:
         n_chunks = len(sentences)
 
         # wave 1: batch chunks with the same token bucket through ONE
-        # phase-1 call (padding the batch dim to a small set of sizes)
+        # phase-1 call. Unlike phase 2 (per-row vocoder compute — exact
+        # partitioning), phase 1 is dominated by the serial DurationEncoder
+        # BiLSTM whose cost is per-CALL, so padding the batch dim up to one
+        # compiled size is cheaper than splitting into exact groups.
         tokenized = [tokens_for_sentence(sent, self.cleaner)
                      for sent in sentences]
         tbs = [_bucket(self.cfg.tpu.token_buckets, len(tk))
@@ -347,8 +354,9 @@ class StyleTTS2:
         d_of = [None] * n_chunks
         dur_dev_of = [None] * n_chunks
         for tb, idxs in by_tb.items():
-            for group in _partition_exact(idxs, self.batch_buckets):
-                bb = len(group)
+            for part in range(0, len(idxs), self.max_batch):
+                group = idxs[part: part + self.max_batch]
+                bb = _bucket(self.batch_buckets, len(group))
                 tokens = np.zeros((bb, tb), np.int32)
                 mask = np.zeros((bb, tb), bool)
                 for row, i in enumerate(group):

@@ -202,14 +202,46 @@ def _adain_affine(p_adain, x: jnp.ndarray, s: jnp.ndarray,
 def adain_res_block1_apply(p, x: jnp.ndarray, s: jnp.ndarray,
                            kernel_size: int, dilation=(1, 3, 5),
                            mask: Optional[jnp.ndarray] = None,
-                           n_valid: Optional[jnp.ndarray] = None
-                           ) -> jnp.ndarray:
+                           n_valid: Optional[jnp.ndarray] = None,
+                           fold: Optional[int] = None) -> jnp.ndarray:
     """x: (B, T, C); the weight-norm convs keep T (SAME padding).
 
-    When `n_valid` is given (prefix-mask lengths, inference on TPU), each
-    AdaIN+Snake+conv group runs as one fused Pallas kernel
-    (ops/vocoder_pallas.py); otherwise the XLA path (training, CPU, or
-    non-prefix masks)."""
+    When `n_valid` is given (prefix-mask lengths — inference), the
+    low-channel stages run TIME-FOLDED: (B, T, C) -> (B, T/f, f*C) with
+    f = 128//C (a free reshape in channels-last layout) so every conv is
+    MXU-shaped (layers.fold_conv1d_weight) — measured ~1% MFU unfolded vs
+    ~47% folded for C=32 on v5e. `fold` overrides the auto gate (tests);
+    the result is numerically the same conv (same taps, same zero pads).
+
+    Alternatively each AdaIN+Snake+conv group can run as one fused Pallas
+    kernel (ops/vocoder_pallas.py, STYLETTS2_TPU_VOCODER_PALLAS=1)."""
+    c = x.shape[-1]
+    if fold is None:
+        fold = 1
+        # C=64 measures neutral (9.3 vs 10.0 ms/block on v5e) — fold only
+        # where the lanes are 4x underfilled
+        if (n_valid is not None and jax.default_backend() == "tpu"
+                and c <= 32 and 128 % c == 0
+                and "weight" in p["convs1"]["0"]):
+            f = 128 // c
+            if x.shape[1] % f == 0:
+                fold = f
+    if fold > 1:
+        b_sz, t_sz = x.shape[0], x.shape[1]
+        x_f = x.reshape(b_sz, t_sz // fold, fold * c)
+        nv_f = None if n_valid is None else n_valid // fold
+        for i, d in enumerate(dilation):
+            si = str(i)
+            z = L.adain_1d_act_folded_apply(
+                p["adain1"][si], x_f, s, fold, nv_f, act="snake",
+                alpha=jnp.asarray(p["alpha1"][si]).ravel())
+            z = L.conv1d_folded_apply(p["convs1"][si], z, fold, d)
+            z = L.adain_1d_act_folded_apply(
+                p["adain2"][si], z, s, fold, nv_f, act="snake",
+                alpha=jnp.asarray(p["alpha2"][si]).ravel())
+            z = L.conv1d_folded_apply(p["convs2"][si], z, fold, 1)
+            x_f = z + x_f
+        return x_f.reshape(b_sz, t_sz, c)
     # Opt-in: the fused Pallas kernel measures only 1.02-1.17x vs the
     # XLA-fused path for C>=64 (0.8x at C=32 — underfilled 128-lane tiles)
     # but costs minutes of extra compile time per phase-2 graph through a

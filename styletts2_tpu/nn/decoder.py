@@ -222,6 +222,48 @@ def hifigan_generator_apply(p, x: jnp.ndarray, s: jnp.ndarray,
     return jnp.tanh(x)
 
 
+def prefold_generator_params(p_dec, cfg: DecoderConfig):
+    """Precompute time-folded conv weights for the low-channel HiFi-GAN
+    stages (layers.fold_conv1d_weight_np), stored as 'wfold'/'bfold' next
+    to each fused conv weight. Host-side, once, at engine init — folding
+    in-graph costs more than the folded conv itself.
+
+    No-op for istftnet/vocos (their lowest stage is C>=128) and for
+    unfused (training) params."""
+    if cfg.type != "hifigan" or "generator" not in p_dec:
+        return p_dec
+    gen = p_dec["generator"]
+    rates = cfg.upsample_rates
+    n_up = len(rates)
+    n_kernels = len(cfg.resblock_kernel_sizes)
+    c0 = cfg.upsample_initial_channel
+
+    def prefold_block(bp, kernel_size, dilation, f):
+        for di, d in enumerate(dilation):
+            si = str(di)
+            for convs, dd in (("convs1", d), ("convs2", 1)):
+                cp = bp[convs][si]
+                if "weight" not in cp:  # weight norm not fused
+                    continue
+                cp["wfold"] = L.fold_conv1d_weight_np(
+                    np.asarray(cp["weight"]), f, dd)
+                if "bias" in cp:
+                    cp["bfold"] = np.tile(np.asarray(cp["bias"]), f)
+
+    for i in range(n_up):
+        c_cur = c0 // (2 ** (i + 1))
+        if c_cur > 32 or 128 % c_cur != 0:  # fold gate: C<=32 only
+            continue
+        f = 128 // c_cur
+        nk = 7 if i + 1 < n_up else 11
+        prefold_block(gen["noise_res"][str(i)], nk, (1, 3, 5), f)
+        for j in range(n_kernels):
+            prefold_block(gen["resblocks"][str(i * n_kernels + j)],
+                          cfg.resblock_kernel_sizes[j],
+                          tuple(cfg.resblock_dilation_sizes[j]), f)
+    return p_dec
+
+
 # ---------------------------------------------------------------------------
 # decoder shell (reference hifigan.py:416-475 et al.)
 # ---------------------------------------------------------------------------

@@ -370,6 +370,128 @@ def adain_1d_act_apply(p, x: jnp.ndarray, s: jnp.ndarray,
     return z
 
 
+# ---------------------------------------------------------------------------
+# time-folded (space-to-depth) ops for low-channel high-rate conv stacks
+# ---------------------------------------------------------------------------
+#
+# The late HiFi-GAN stages run C=32/64 at up to 24 kHz: XLA's conv lowering
+# measures ~1% MFU there (128-lane tiles underfilled), vs ~47% at C=128+
+# (v5e). In channels-last layout, (B, T, C) -> (B, T/f, f*C) is a FREE
+# reshape (same buffer), and a SAME dilated conv becomes an equivalent
+# wider conv at f*C channels with block-structured weights:
+#
+#   y[f t' + p, co] = sum_i x[f t' + p + d*i, ci] W[co, ci, i]
+#   write u = p + d*i = f*j + q  ->  y_f[t', p*C+co] =
+#       sum_j x_f[t' + j, q*C + ci] W'[j, q*C+ci, p*C+co]
+#
+# W' is dense (kp, f*C, f*C) with kp = 2*ceil(d*(k-1)/2 / f) + 1; the f^2
+# FLOP inflation is repaid ~5-20x by the MXU-shaped operands. Exact (same
+# math, same zero padding); prefix masks stay exact when n_valid % f == 0.
+
+
+def fold_conv1d_weight(w: jnp.ndarray, f: int, dilation: int) -> jnp.ndarray:
+    """w: torch-layout (C_out, C_in, k), odd k, SAME padding. Returns the
+    folded HIO weight (kp, f*C_in, f*C_out); use padding (kp-1)//2."""
+    c_out, c_in, k = w.shape
+    half = (k - 1) // 2
+    pad_f = -(-dilation * half // f)  # ceil
+    kp = 2 * pad_f + 1
+    wt = jnp.swapaxes(w, 0, 1)  # (C_in, C_out, k)
+    wp = jnp.zeros((kp, f * c_in, f * c_out), w.dtype)
+    for i in range(k):
+        o = dilation * (i - half)
+        for p in range(f):
+            u = p + o
+            j = u // f + pad_f
+            q = u % f
+            wp = wp.at[j, q * c_in:(q + 1) * c_in,
+                       p * c_out:(p + 1) * c_out].set(wt[:, :, i])
+    return wp
+
+
+def fold_conv1d_weight_np(w: np.ndarray, f: int, dilation: int) -> np.ndarray:
+    """Host-side fold_conv1d_weight (engine init): building the folded
+    weight in-graph costs ~k*f dynamic-update-slice ops PER CALL, which
+    dominates the folded conv itself — precompute once instead."""
+    c_out, c_in, k = w.shape
+    half = (k - 1) // 2
+    pad_f = -(-dilation * half // f)
+    kp = 2 * pad_f + 1
+    wt = np.swapaxes(np.asarray(w), 0, 1)  # (C_in, C_out, k)
+    wp = np.zeros((kp, f * c_in, f * c_out), wt.dtype)
+    for i in range(k):
+        o = dilation * (i - half)
+        for p in range(f):
+            u = p + o
+            wp[u // f + pad_f, (u % f) * c_in:(u % f + 1) * c_in,
+               p * c_out:(p + 1) * c_out] = wt[:, :, i]
+    return wp
+
+
+def conv1d_folded_apply(p, x_f: jnp.ndarray, f: int,
+                        dilation: int = 1) -> jnp.ndarray:
+    """SAME conv on a time-folded tensor x_f (B, T/f, f*C). Uses the
+    precomputed 'wfold'/'bfold' params when present (engine init,
+    decoder.prefold_generator_params); otherwise folds in-graph."""
+    if "wfold" in p:
+        wp = p["wfold"].astype(x_f.dtype)
+    else:
+        wp = fold_conv1d_weight(_get_weight(p), f, dilation).astype(x_f.dtype)
+    pad = (wp.shape[0] - 1) // 2
+    y = jax.lax.conv_general_dilated(
+        x_f, wp, window_strides=(1,), padding=[(pad, pad)],
+        dimension_numbers=("NHC", "HIO", "NHC"), precision=_prec(x_f))
+    if "bias" in p:
+        bf = p["bfold"] if "bfold" in p else jnp.tile(p["bias"], f)
+        y = y + bf.astype(x_f.dtype)
+    return y
+
+
+def adain_1d_act_folded_apply(p, x_f: jnp.ndarray, s: jnp.ndarray, f: int,
+                              n_valid_f: Optional[jnp.ndarray],
+                              act: str = "none",
+                              alpha: Optional[jnp.ndarray] = None,
+                              slope: float = 0.2) -> jnp.ndarray:
+    """adain_1d_act_apply on a folded tensor; stats/affine are per ORIGINAL
+    channel. Every (B, T', f*C) elementwise op stays in the folded layout —
+    the whole point of folding is full 128-lane tiles, so only the (B, f*C)
+    REDUCED vectors are reshaped to (f, C) to merge phases; per-channel
+    params are tiled f times instead. n_valid_f: (B,) valid folded rows."""
+    b, tp, fc = x_f.shape
+    c = fc // f
+    h = linear_apply(p["fc"], s)  # (B, 2C)
+    gamma, beta = jnp.split(h, 2, axis=-1)
+    gamma = jnp.tile(gamma, (1, f))[:, None, :]  # (B, 1, FC)
+    beta = jnp.tile(beta, (1, f))[:, None, :]
+
+    def phase_merge(v):  # (B, FC) summed over T' -> per-channel, re-tiled
+        return jnp.tile(v.reshape(b, f, c).sum(axis=1), (1, f))[:, None, :]
+
+    xf = x_f.astype(jnp.float32)
+    if n_valid_f is None:
+        n = float(tp * f)
+        mean = phase_merge(xf.sum(axis=1)) / n
+        var = phase_merge(jnp.square(xf - mean).sum(axis=1)) / n
+    else:
+        m = (jnp.arange(tp)[None, :] < n_valid_f[:, None]).astype(
+            jnp.float32)[:, :, None]  # (B, T', 1)
+        n = jnp.maximum(n_valid_f.astype(jnp.float32) * f, 1.0)[:, None, None]
+        mean = phase_merge((xf * m).sum(axis=1)) / n
+        var = phase_merge((jnp.square(xf - mean) * m).sum(axis=1)) / n
+    y = ((xf - mean) * jax.lax.rsqrt(var + 1e-5)).astype(x_f.dtype)
+    z = (1.0 + gamma) * y + beta
+    if act == "snake":
+        a = jnp.tile(alpha.reshape(1, c), (1, f)).reshape(
+            1, 1, fc).astype(z.dtype)
+        sn = jnp.sin(a * z)
+        z = z + (1.0 / a) * (sn * sn)
+    elif act == "lrelu":
+        z = jnp.where(z >= 0, z, z * slope)
+    if n_valid_f is not None:
+        z = jnp.where(m > 0, z, 0.0)
+    return z
+
+
 def ada_layer_norm_init(key, style_dim: int, channels: int):
     """AdaLayerNorm (reference models.py:372-392)."""
     return {"fc": torch_linear_init(key, style_dim, channels * 2)}

@@ -74,6 +74,59 @@ def test_adain_affine_collapse_matches_fused_apply():
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("c,f,k,prefold", [(32, 4, 11, False),
+                                           (64, 2, 7, False),
+                                           (32, 4, 3, True),
+                                           (32, 4, 11, True)])
+def test_folded_block_matches_unfolded(c, f, k, prefold):
+    """Time-folded (space-to-depth) residual block == unfolded block.
+
+    The fold is exact math (same taps, same zero pads), so the only
+    difference is matmul summation order. `prefold` additionally covers
+    the host-precomputed 'wfold' weights (decoder.prefold_generator_params
+    path)."""
+    rng = np.random.default_rng(4)
+    b, t, sd = 2, 240, 16
+    key = jax.random.PRNGKey(5)
+    p = B.adain_res_block1_init(key, c, k, (1, 3, 5), sd)
+    from styletts2_tpu.convert import fuse_weight_norm
+    p = fuse_weight_norm({"m": p})["m"]
+    if prefold:
+        for di, d in enumerate((1, 3, 5)):
+            for convs, dd in (("convs1", d), ("convs2", 1)):
+                cp = p[convs][str(di)]
+                cp["wfold"] = L.fold_conv1d_weight_np(
+                    np.asarray(cp["weight"]), f, dd)
+                cp["bfold"] = np.tile(np.asarray(cp["bias"]), f)
+    x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal((b, sd)), jnp.float32)
+    n_valid = jnp.asarray([t, t - 3 * f], jnp.int32)  # multiple of f
+    mask = jnp.arange(t)[None, :] < n_valid[:, None]
+
+    want = B.adain_res_block1_apply(p, x, s, k, (1, 3, 5), mask,
+                                    n_valid=n_valid, fold=1)
+    got = B.adain_res_block1_apply(p, x, s, k, (1, 3, 5), mask,
+                                   n_valid=n_valid, fold=f)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_fold_conv1d_weight_matches_conv():
+    """Folded dense conv == plain dilated SAME conv."""
+    rng = np.random.default_rng(5)
+    b, t, c, k, d, f = 1, 96, 32, 7, 5, 4
+    x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((c, c, k)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(c) * 0.01, jnp.float32)
+    want = L.conv1d_apply({"weight": w, "bias": bias}, x,
+                          padding=d * (k - 1) // 2, dilation=d)
+    x_f = x.reshape(b, t // f, f * c)
+    got = L.conv1d_folded_apply({"weight": w, "bias": bias}, x_f, f, d)
+    got = got.reshape(b, t, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_block_prefers_pallas_only_on_tpu():
     """On CPU the gate must route to the XLA path (no pallas lowering)."""
     rng = np.random.default_rng(2)
