@@ -250,8 +250,32 @@ def load_config(path_or_dict) -> Config:
         with open(path_or_dict, "r", encoding="utf-8") as f:
             raw = yaml.safe_load(f)
     cfg = _from_dict(Config, raw)
+    _apply_decoder_type_defaults(cfg, raw)
     from styletts2_tpu.text import build_symbol_dict
 
     symbol_dict = build_symbol_dict(cfg.symbol)
     cfg.model_params.n_token = len(symbol_dict) + 1
     return cfg
+
+
+# Per-type decoder defaults (reference Configs/config_example.yaml:56-80 —
+# the reference REQUIRES the user to swap these blocks by hand when
+# switching decoder type; here `type: istftnet` alone yields the same
+# architecture the reference documents for it).
+_DECODER_TYPE_DEFAULTS = {
+    "istftnet": {"upsample_rates": [10, 6],
+                 "upsample_kernel_sizes": [20, 12],
+                 "gen_istft_n_fft": 20, "gen_istft_hop_size": 5},
+    "vocos": {"gen_istft_n_fft": 1200, "gen_istft_hop_size": 300},
+}
+
+
+def _apply_decoder_type_defaults(cfg: Config, raw: Dict[str, Any]) -> None:
+    dec = cfg.model_params.decoder
+    defaults = _DECODER_TYPE_DEFAULTS.get(dec.type)
+    if not defaults:
+        return
+    given = ((raw.get("model_params") or {}).get("decoder") or {})
+    for key, val in defaults.items():
+        if key not in given:
+            setattr(dec, key, val)

@@ -30,6 +30,26 @@ def test_decoder_variant_configs():
         assert cfg.model_params.decoder.type == typ
 
 
+def test_decoder_type_defaults():
+    """`type: istftnet`/`vocos` alone yields the architecture the reference
+    documents for that type (config_example.yaml:56-80), instead of
+    silently inheriting hifigan's upsample_rates; explicit values win."""
+    dec = load_config({"model_params": {"decoder": {
+        "type": "istftnet"}}}).model_params.decoder
+    assert dec.upsample_rates == [10, 6]
+    assert dec.upsample_kernel_sizes == [20, 12]
+    assert (dec.gen_istft_n_fft, dec.gen_istft_hop_size) == (20, 5)
+    dec = load_config({"model_params": {"decoder": {
+        "type": "vocos"}}}).model_params.decoder
+    assert (dec.gen_istft_n_fft, dec.gen_istft_hop_size) == (1200, 300)
+    dec = load_config({"model_params": {"decoder": {
+        "type": "istftnet", "upsample_rates": [8, 8]}}}).model_params.decoder
+    assert dec.upsample_rates == [8, 8]  # explicit value wins
+    dec = load_config({"model_params": {"decoder": {
+        "type": "hifigan"}}}).model_params.decoder
+    assert dec.upsample_rates == [10, 5, 3, 2]
+
+
 def test_unknown_keys_tolerated():
     cfg = load_config({"model_params": {"decoder": {"type": "hifigan"}},
                        "some_future_key": 42})
