@@ -229,7 +229,10 @@ def adain_res_block1_apply(p, x: jnp.ndarray, s: jnp.ndarray,
     if fold > 1:
         b_sz, t_sz = x.shape[0], x.shape[1]
         x_f = x.reshape(b_sz, t_sz // fold, fold * c)
-        nv_f = None if n_valid is None else n_valid // fold
+        # stats follow `mask` exactly like the unfolded path: mask=None
+        # means unmasked stats and no re-zeroing (n_valid alone only gates
+        # the fold and feeds the optional Pallas kernel)
+        nv_f = None if mask is None else n_valid // fold
         for i, d in enumerate(dilation):
             si = str(i)
             z = L.adain_1d_act_folded_apply(

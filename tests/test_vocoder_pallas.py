@@ -109,6 +109,15 @@ def test_folded_block_matches_unfolded(c, f, k, prefold):
                                    n_valid=n_valid, fold=f)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=1e-3)
+    # mask=None must mean UNMASKED stats in both paths (n_valid alone only
+    # gates the fold) — a semantics mismatch here corrupts nothing in the
+    # decoder (which always passes both) but breaks API equivalence
+    want = B.adain_res_block1_apply(p, x, s, k, (1, 3, 5), None,
+                                    n_valid=n_valid, fold=1)
+    got = B.adain_res_block1_apply(p, x, s, k, (1, 3, 5), None,
+                                   n_valid=n_valid, fold=f)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-3)
 
 
 def test_fold_conv1d_weight_matches_conv():
