@@ -299,21 +299,38 @@ class StyleTTS2:
                           prev_d_mean: float = 0.0, t: float = 0.1
                           ) -> Tuple[np.ndarray, float]:
         """Single-chunk synthesis (reference inference.py:224-272)."""
-        wavs, means = self._synthesize_chunks([sentence], ref_s, speed,
-                                              prev_d_mean, t)
+        wavs, means, _ = self._synthesize_chunks([sentence], ref_s, speed,
+                                                 prev_d_mean, t)
         return wavs[0], means[-1]
 
     def _synthesize_chunks(self, sentences: List[str], ref_s,
-                           speed: float, prev_d_mean: float, t: float
-                           ) -> Tuple[List[np.ndarray], List[float]]:
-        """Pipelined multi-chunk synthesis.
+                           speed: float, prev_d_mean: float, t: float,
+                           chain_of: Optional[List[int]] = None
+                           ) -> Tuple[List[np.ndarray], List[float],
+                                      List[int]]:
+        """Pipelined multi-chunk synthesis; see _synthesize_plan."""
+        wav_dev_of, total_of, means, origin = self._synthesize_plan(
+            sentences, ref_s, speed, prev_d_mean, t, chain_of)
+        return self._fetch_all(wav_dev_of, total_of), means, origin
+
+    def _synthesize_plan(self, sentences: List[str], ref_s,
+                         speed: float, prev_d_mean: float, t: float,
+                         chain_of: Optional[List[int]] = None):
+        """Dispatch the full synthesis pipeline WITHOUT fetching audio.
 
         All phase-1 calls are dispatched asynchronously, durations come back
         in one host sync (the sequential rate-stabilization chain is
         host-side anyway), then all phase-2 calls are dispatched before any
         waveform is fetched — so the TPU queue never drains while the host
         does duration glue. Results are identical to the reference's
-        sequential per-sentence loop (inference.py:303-319)."""
+        sequential per-sentence loop (inference.py:303-319).
+
+        chain_of: optional per-input-sentence chain id; the stochastic
+        rate-stabilization mean chains only WITHIN a chain (used by
+        generate_batch so independent texts don't couple). Returns
+        (wav_dev_of, total_of, means, origin) where origin[i] is the input
+        sentence index chunk i came from (bucket-overflow splitting can
+        grow the chunk list)."""
         s = jnp.asarray(ref_s)
 
         # split any chunk whose token count exceeds the largest compiled
@@ -321,13 +338,15 @@ class StyleTTS2:
         # word boundaries instead, which long-form chunking makes rare)
         max_tokens = self.cfg.tpu.token_buckets[-1]
         work: List[str] = []
-        for sentence in sentences:
+        origin: List[int] = []
+        for src_i, sentence in enumerate(sentences):
             parts = [sentence]
             while parts:
                 part = parts.pop(0)
                 if len(self.cleaner(part)) + 2 <= max_tokens or \
                         len(part.split()) <= 1:
                     work.append(part)
+                    origin.append(src_i)
                 else:
                     words = part.split()
                     half = len(words) // 2
@@ -378,15 +397,19 @@ class StyleTTS2:
             if id(dur_dev) not in host_dur:
                 host_dur[id(dur_dev)] = np.asarray(dur_dev)
         means: List[float] = []
+        chain_mean: Dict[int, float] = {}
         pred_of = [None] * n_chunks
         total_of = [0] * n_chunks
         fb_of = [0] * n_chunks
         for i in range(n_chunks):
             dur_dev, row = dur_dev_of[i]
             duration = host_dur[id(dur_dev)][row, : len(tokenized[i])]
-            pred_dur, total, prev_d_mean = self._postprocess_durations(
-                duration, speed, prev_d_mean, t)
-            means.append(prev_d_mean)
+            chain = chain_of[origin[i]] if chain_of is not None else 0
+            prev = chain_mean.get(chain, prev_d_mean)
+            pred_dur, total, new_mean = self._postprocess_durations(
+                duration, speed, prev, t)
+            chain_mean[chain] = new_mean
+            means.append(new_mean)
             pred_of[i] = pred_dur
             total_of[i] = total
             fb_of[i] = _bucket(self.cfg.tpu.frame_buckets, total)
@@ -432,17 +455,22 @@ class StyleTTS2:
                 for row, i in enumerate(group):
                     wav_dev_of[i] = (wav, row)
 
-        # final sync: fetch each distinct phase-2 batch buffer once, then
-        # slice per chunk (+ int16 -> float32 on host)
+        return wav_dev_of, total_of, means, origin
+
+    def _fetch_chunk(self, host_wav: Dict[int, np.ndarray], wav_dev_of,
+                     total_of, i: int) -> np.ndarray:
+        """Fetch chunk i's waveform, caching each distinct phase-2 batch
+        buffer (every device->host copy is a full tunnel round trip)."""
+        wav_dev, row = wav_dev_of[i]
+        if id(wav_dev) not in host_wav:
+            host_wav[id(wav_dev)] = np.asarray(wav_dev)
+        return (host_wav[id(wav_dev)][row, : total_of[i] * 2 * self.hop]
+                .astype(np.float32) / 32767.0)
+
+    def _fetch_all(self, wav_dev_of, total_of) -> List[np.ndarray]:
         host_wav: Dict[int, np.ndarray] = {}
-        for wav_dev, _row in wav_dev_of:
-            if id(wav_dev) not in host_wav:
-                host_wav[id(wav_dev)] = np.asarray(wav_dev)
-        wavs = [host_wav[id(wav_dev_of[i][0])][wav_dev_of[i][1],
-                                               : total_of[i] * 2 * self.hop]
-                .astype(np.float32) / 32767.0
-                for i in range(n_chunks)]
-        return wavs, means
+        return [self._fetch_chunk(host_wav, wav_dev_of, total_of, i)
+                for i in range(len(wav_dev_of))]
 
     def generate(self, phonem: str, style: Dict[str, Any],
                  stabilize: bool = True, n_merge: int = 16) -> np.ndarray:
@@ -452,12 +480,72 @@ class StyleTTS2:
         chunks = split_into_chunks(phonem, n_merge=n_merge)
         if not chunks:
             return np.zeros(8000, np.float32)
-        wavs, _ = self._synthesize_chunks(chunks, style["style"],
-                                          style.get("speed", 1.0), 0.0,
-                                          smooth)
+        wavs, _, _ = self._synthesize_chunks(chunks, style["style"],
+                                             style.get("speed", 1.0), 0.0,
+                                             smooth)
         out = np.concatenate([w[4000:-4000] for w in wavs])
         return np.concatenate([np.zeros(4000, np.float32), out,
                                np.zeros(4000, np.float32)])
+
+    def generate_stream(self, phonem: str, style: Dict[str, Any],
+                        stabilize: bool = True, n_merge: int = 16):
+        """Streaming synthesis: yields waveform segments in order as each
+        chunk's audio becomes available, so playback can start after the
+        FIRST chunk (~the p50 utterance latency) instead of after the whole
+        text. `np.concatenate(list(generate_stream(...)))` equals
+        `generate(...)` exactly. No reference equivalent (its loop builds
+        the full list before returning, inference.py:303-319)."""
+        smooth = 0.2 if stabilize else 0.0
+        chunks = split_into_chunks(phonem, n_merge=n_merge)
+        if not chunks:
+            yield np.zeros(8000, np.float32)
+            return
+        wav_dev_of, total_of, _, _ = self._synthesize_plan(
+            chunks, style["style"], style.get("speed", 1.0), 0.0, smooth)
+        host_wav: Dict[int, np.ndarray] = {}
+        n = len(wav_dev_of)
+        for i in range(n):
+            w = self._fetch_chunk(host_wav, wav_dev_of, total_of, i)
+            seg = w[4000:-4000]
+            if i == 0:
+                seg = np.concatenate([np.zeros(4000, np.float32), seg])
+            if i == n - 1:
+                seg = np.concatenate([seg, np.zeros(4000, np.float32)])
+            yield seg
+
+    def generate_batch(self, phonems: List[str], style: Dict[str, Any],
+                       stabilize: bool = True, n_merge: int = 16
+                       ) -> List[np.ndarray]:
+        """Synthesize several texts in one batched pass (shared style).
+
+        Chunk-level batching spans texts, so the compiled batch sizes that
+        single-text synthesis leaves partially idle are filled — higher
+        chip utilization than calling generate() per text. Each text gets
+        its own rate-stabilization chain (independent texts don't couple).
+        No reference equivalent."""
+        smooth = 0.2 if stabilize else 0.0
+        per_text = [split_into_chunks(t, n_merge=n_merge) for t in phonems]
+        flat: List[str] = []
+        chain_of: List[int] = []
+        for ti, chunks in enumerate(per_text):
+            flat.extend(chunks)
+            chain_of.extend([ti] * len(chunks))
+        if not flat:
+            return [np.zeros(8000, np.float32) for _ in phonems]
+        wavs, _, origin = self._synthesize_chunks(
+            flat, style["style"], style.get("speed", 1.0), 0.0, smooth,
+            chain_of=chain_of)
+        outs: List[np.ndarray] = []
+        for ti in range(len(phonems)):
+            ws = [wavs[i] for i in range(len(wavs))
+                  if chain_of[origin[i]] == ti]
+            if not ws:
+                outs.append(np.zeros(8000, np.float32))
+                continue
+            mid = np.concatenate([w[4000:-4000] for w in ws])
+            outs.append(np.concatenate([np.zeros(4000, np.float32), mid,
+                                        np.zeros(4000, np.float32)]))
+        return outs
 
     # ------------------------------------------------------------------
 

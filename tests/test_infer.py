@@ -85,16 +85,42 @@ def test_chunk_batching_matches_single(engine):
     engine.ref_s = engine.compute_style(wav_ref, denoise=0.0)
     sentences = ["one two three", "four five six seven", "eight nine"]
 
-    batched, _ = engine._synthesize_chunks(sentences, engine.ref_s, 1.0,
-                                           0.0, 0.0)
+    batched, _, _ = engine._synthesize_chunks(sentences, engine.ref_s, 1.0,
+                                              0.0, 0.0)
     singles = []
     for sent in sentences:
-        w, _ = engine._synthesize_chunks([sent], engine.ref_s, 1.0, 0.0, 0.0)
+        w, _, _ = engine._synthesize_chunks([sent], engine.ref_s, 1.0,
+                                            0.0, 0.0)
         singles.append(w[0])
     assert len(batched) == len(singles)
     for a, b in zip(batched, singles):
         assert a.shape == b.shape
         np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_generate_stream_matches_generate(engine):
+    rng = np.random.default_rng(8)
+    wav_ref = (rng.standard_normal(24000 * 3) * 0.1).astype(np.float32)
+    engine.ref_s = engine.compute_style(wav_ref, denoise=0.0)
+    style = {"style": engine.ref_s, "speed": 1.0}
+    text = "one two three. four five six. seven eight nine ten."
+    full = engine.generate(text, style, stabilize=False, n_merge=1)
+    segs = list(engine.generate_stream(text, style, stabilize=False,
+                                       n_merge=1))
+    assert len(segs) > 1  # actually streamed in chunks
+    np.testing.assert_array_equal(np.concatenate(segs), full)
+
+
+def test_generate_batch_matches_per_text(engine):
+    rng = np.random.default_rng(9)
+    wav_ref = (rng.standard_normal(24000 * 3) * 0.1).astype(np.float32)
+    engine.ref_s = engine.compute_style(wav_ref, denoise=0.0)
+    style = {"style": engine.ref_s, "speed": 1.0}
+    texts = ["one two three. four five.", "six seven eight nine.", ""]
+    batch = engine.generate_batch(texts, style, stabilize=False, n_merge=1)
+    for text, got in zip(texts, batch):
+        want = engine.generate(text, style, stabilize=False, n_merge=1)
+        np.testing.assert_allclose(got, want, atol=2e-4)
 
 
 def test_save_load_styles(engine, tmp_path):
