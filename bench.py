@@ -170,6 +170,22 @@ def main():
     real_rtf, real_p50, _ = measure(eng, fixed_duration=None, reps=2,
                                     lat_reps=5)
 
+    # multi-stream serving throughput: 8 concurrent texts through
+    # generate_batch (chunk batching spans texts -> compiled batch sizes
+    # stay full). Aggregate audio-seconds per wall-second per chip.
+    eng.fixed_duration = 4
+    style = {"style": eng.ref_s, "speed": 1.0}
+    texts8 = [LONG_TEXT] * 8
+    eng.generate_batch(texts8, style, stabilize=False, n_merge=MERGE_LONG)
+    t0 = time.perf_counter()
+    reps8 = 3
+    total8 = 0.0
+    for _ in range(reps8):
+        outs = eng.generate_batch(texts8, style, stabilize=False,
+                                  n_merge=MERGE_LONG)
+        total8 += sum((len(w) - 8000) / 24000.0 for w in outs)
+    multi_rtf = total8 / (time.perf_counter() - t0)
+
     h = per_decoder[headline_dec]
     result = {
         "metric": "single-stream synthesis throughput (1/RTF), "
@@ -183,6 +199,7 @@ def main():
             "per_decoder": per_decoder,
             "unpinned_duration_inv_rtf": round(real_rtf, 2),
             "unpinned_duration_p50_ms": round(real_p50, 2),
+            "multi_stream_8x_inv_rtf": round(multi_rtf, 2),
             "device": str(jax.devices()[0]),
         },
     }

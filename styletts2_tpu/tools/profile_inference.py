@@ -6,7 +6,7 @@ Times (median of reps, after warmup):
   * phase-2 (align + F0/N + vocoder) per frame bucket
   * decoder-only and generator-only subgraphs, to localize the cost
 
-Run:  python tools_profile_phase2.py [hifigan|istftnet|vocos]
+Run:  python -m styletts2_tpu.tools.profile_inference [hifigan|istftnet|vocos]
 """
 
 import sys
