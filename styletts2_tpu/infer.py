@@ -80,7 +80,12 @@ class StyleTTS2:
 
     def __init__(self, config, models_path: Optional[str] = None, *,
                  params: Optional[Dict[str, Any]] = None, seed: int = 0,
-                 decoder_dtype: Optional[str] = None):
+                 decoder_dtype: Optional[str] = None, mesh=None):
+        """mesh: optional 1-D jax.sharding.Mesh (axis 'dp') — phase graphs
+        are then batch-sharded over its devices (multi-chip serving:
+        chunk batches from generate_batch/_synthesize_chunks spread over
+        ICI; XLA partitions the per-row vocoder compute). mesh=None (the
+        default) is the single-chip path with exact-size batch groups."""
         from styletts2_tpu.cache import enable_compilation_cache
 
         enable_compilation_cache()
@@ -99,7 +104,13 @@ class StyleTTS2:
         self.fixed_duration: Optional[int] = None
         # chunk-batching: same-bucket chunks share one phase-1/phase-2 call;
         # batch sizes are padded to these compiled sizes
-        self.batch_buckets: Tuple[int, ...] = (1, 2, 4, 8)
+        self.mesh = mesh
+        if mesh is not None:
+            n_dev = int(np.prod(mesh.devices.shape))
+            # batch dims must divide evenly over the mesh
+            self.batch_buckets = (n_dev, 2 * n_dev, 4 * n_dev)
+        else:
+            self.batch_buckets: Tuple[int, ...] = (1, 2, 4, 8)
         self.max_batch: int = self.batch_buckets[-1]
 
         if params is None:
@@ -127,9 +138,25 @@ class StyleTTS2:
             else jnp.float32
         self.params = params
 
+        self._data_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            # replicate params; batch inputs get device_put onto the data
+            # sharding at call sites (_put_data) and GSPMD partitions the
+            # phase graphs — the jitted functions are the same objects as
+            # the single-chip path
+            self.params = jax.device_put(self.params, NamedSharding(mesh, P()))
+            self._data_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
         self._phase1 = jax.jit(self._phase1_impl)
         self._phase2 = jax.jit(self._phase2_impl, static_argnames=("n_frames",))
         self._style_fn = jax.jit(self._style_impl)
+
+    def _put_data(self, x):
+        """Batch-shard an input over the mesh (no-op without a mesh)."""
+        x = jnp.asarray(x)
+        if self._data_sharding is None:
+            return x
+        return jax.device_put(x, self._data_sharding)
 
     # ------------------------------------------------------------------
     # jitted graphs
@@ -381,9 +408,10 @@ class StyleTTS2:
                 for row, i in enumerate(group):
                     tokens[row, : len(tokenized[i])] = tokenized[i]
                     mask[row, : len(tokenized[i])] = True
-                sb = jnp.broadcast_to(s, (bb,) + s.shape[1:])
-                t_en, d, dur = self._phase1(self.params, jnp.asarray(tokens),
-                                            jnp.asarray(mask), sb)
+                sb = self._put_data(jnp.broadcast_to(s, (bb,) + s.shape[1:]))
+                t_en, d, dur = self._phase1(self.params,
+                                            self._put_data(tokens),
+                                            self._put_data(mask), sb)
                 for row, i in enumerate(group):
                     t_en_of[i] = (t_en, row)
                     d_of[i] = (d, row)
@@ -426,10 +454,20 @@ class StyleTTS2:
 
         wav_dev_of = [None] * n_chunks
         for fb, idxs in by_f.items():
-            for group in _partition_exact(idxs, self.batch_buckets):
-                bb = len(group)
+            if self.mesh is None:
+                groups = _partition_exact(idxs, self.batch_buckets)
+            else:
+                # mesh mode: batch dims must be compiled multiples of the
+                # device count, so pad the group (duplicated rows) instead
+                # of exact partitioning
+                groups = [idxs[p: p + self.max_batch]
+                          for p in range(0, len(idxs), self.max_batch)]
+            for group in groups:
+                bb = (len(group) if self.mesh is None
+                      else _bucket(self.batch_buckets, len(group)))
+                rows = list(group) + [group[-1]] * (bb - len(group))
                 tb = max(tbs[i] for i in group)
-                srcs = [t_en_of[i] for i in group]
+                srcs = [t_en_of[i] for i in rows]
                 if (srcs[0][0].shape[0] == bb
                         and all(s[0] is srcs[0][0] for s in srcs)
                         and [s[1] for s in srcs] == list(range(bb))):
@@ -444,14 +482,16 @@ class StyleTTS2:
                             arr = jnp.pad(
                                 arr, ((0, tb - arr.shape[0]), (0, 0)))
                         return arr
-                    t_en = jnp.stack([_row(t_en_of, i) for i in group])
-                    d = jnp.stack([_row(d_of, i) for i in group])
+                    t_en = self._put_data(
+                        jnp.stack([_row(t_en_of, i) for i in rows]))
+                    d = self._put_data(
+                        jnp.stack([_row(d_of, i) for i in rows]))
                 durs = np.zeros((bb, tb), np.int32)
-                for row, i in enumerate(group):
+                for row, i in enumerate(rows):
                     durs[row, : len(pred_of[i])] = pred_of[i]
-                sb = jnp.broadcast_to(s, (bb,) + s.shape[1:])
+                sb = self._put_data(jnp.broadcast_to(s, (bb,) + s.shape[1:]))
                 wav = self._phase2(self.params, t_en, d, sb,
-                                   jnp.asarray(durs), n_frames=fb)
+                                   self._put_data(durs), n_frames=fb)
                 for row, i in enumerate(group):
                     wav_dev_of[i] = (wav, row)
 

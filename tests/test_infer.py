@@ -123,6 +123,40 @@ def test_generate_batch_matches_per_text(engine):
         np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+def test_mesh_sharded_inference_matches_single_device(engine):
+    """Batch-sharded phase graphs over a 4-device 'dp' mesh produce the
+    same audio as the single-device engine (multi-chip serving path)."""
+    import jax
+    from jax.sharding import Mesh
+
+    devices = jax.devices()
+    assert len(devices) >= 4  # conftest provisions 8 virtual CPU devices
+    mesh = Mesh(np.array(devices[:4]), ("dp",))
+    cfg = load_config({
+        "model_params": {"decoder": {"type": "hifigan"}},
+        "tpu": {"token_buckets": [32, 64],
+                "frame_buckets": [80, 160, 240, 480, 960],
+                "decoder_dtype": "float32"},
+        "debug": False,
+    })
+    meshed = StyleTTS2(cfg, seed=0, mesh=mesh)
+    assert meshed.batch_buckets == (4, 8, 16)
+
+    rng = np.random.default_rng(11)
+    wav_ref = (rng.standard_normal(24000 * 3) * 0.1).astype(np.float32)
+    engine.ref_s = engine.compute_style(wav_ref, denoise=0.0)
+    meshed.ref_s = meshed.compute_style(wav_ref, denoise=0.0)
+    np.testing.assert_allclose(np.asarray(meshed.ref_s),
+                               np.asarray(engine.ref_s), atol=1e-5)
+    style_a = {"style": engine.ref_s, "speed": 1.0}
+    style_b = {"style": meshed.ref_s, "speed": 1.0}
+    text = "one two three. four five six. seven eight."
+    a = engine.generate(text, style_a, stabilize=False, n_merge=1)
+    b = meshed.generate(text, style_b, stabilize=False, n_merge=1)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=2e-4)
+
+
 def test_save_load_styles(engine, tmp_path):
     rng = np.random.default_rng(4)
     wav_ref = (rng.standard_normal(24000 * 3) * 0.1).astype(np.float32)
