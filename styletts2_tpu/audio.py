@@ -170,16 +170,82 @@ def trim_silence(wav: np.ndarray, top_db: float = 30.0,
     return wav[start:end], (start, end)
 
 
+def spectral_gate_denoise(wav: np.ndarray, sr: int,
+                          prop_decrease: float = 1.0, n_fft: int = 1024,
+                          hop_length: int = 256,
+                          n_std_thresh: float = 1.5,
+                          freq_smooth_hz: float = 500.0,
+                          time_smooth_ms: float = 50.0) -> np.ndarray:
+    """From-scratch stationary spectral-gate denoiser (the algorithm of
+    noisereduce's SpectralGateStationary, which the reference applies to
+    every style clip by default, inference.py:190-192):
+
+      STFT -> per-bin noise floor (mean + n_std_thresh * std of the dB
+      magnitudes over the QUIETEST fifth of the frames) -> binary keep-mask
+      where the signal exceeds the floor -> triangular time/frequency
+      smoothing of the mask -> scale the gated fraction by prop_decrease ->
+      masked iSTFT.
+
+    Deviation from noisereduce (documented): the noise floor is estimated
+    over the lowest-energy 20% of frames rather than the whole clip —
+    whole-clip stats put the threshold above any sound active a minority of
+    the time (it would gate out short loud content); quiet-frame stats are
+    a strictly better stationary-noise estimate.
+
+    Pure numpy/scipy, host-side (per style clip, not hot)."""
+    wav = np.asarray(wav, dtype=np.float32)
+    if len(wav) < n_fft:
+        return wav
+    from scipy.signal import istft as _istft
+    from scipy.signal import stft as _stft
+
+    _, _, spec = _stft(wav, nperseg=n_fft, noverlap=n_fft - hop_length,
+                       padded=True)
+    mag_db = 20.0 * np.log10(np.maximum(np.abs(spec), 1e-10))
+
+    # stationary noise floor per frequency bin from the quietest frames
+    energy = mag_db.mean(axis=0)
+    n_quiet = max(4, len(energy) // 5)
+    quiet = mag_db[:, np.argsort(energy)[:n_quiet]]
+    thresh = quiet.mean(axis=1) + n_std_thresh * quiet.std(axis=1)
+    keep = (mag_db > thresh[:, None]).astype(np.float32)
+
+    # triangular smoothing across frequency and time so the gate doesn't
+    # flutter bin-to-bin / frame-to-frame
+    n_freq = int(freq_smooth_hz / (sr / 2.0 / (n_fft // 2 + 1)))
+    n_time = int(time_smooth_ms / 1000.0 * sr / hop_length)
+
+    def _tri(n: int) -> np.ndarray:
+        if n < 1:
+            return np.ones(1, np.float32)
+        up = np.linspace(0.0, 1.0, n + 2)[1:-1]
+        w = np.concatenate([up, [1.0], up[::-1]]).astype(np.float32)
+        return w / w.sum()
+
+    from scipy.signal import fftconvolve
+
+    kernel = np.outer(_tri(n_freq), _tri(n_time))
+    # smoothing only ROLLS OFF outward from kept regions (max with the raw
+    # mask): a normalized convolution alone would dilute narrowband keeps
+    # (a 3-bin tone under a 40-bin kernel drops to ~0.1 gain)
+    keep = np.maximum(keep, np.clip(
+        fftconvolve(keep, kernel, mode="same"), 0.0, 1.0))
+
+    gain = keep * prop_decrease + (1.0 - prop_decrease)
+    _, den = _istft(spec * gain, nperseg=n_fft,
+                    noverlap=n_fft - hop_length)
+    den = den[: len(wav)].astype(np.float32)
+    if len(den) < len(wav):
+        den = np.pad(den, (0, len(wav) - len(den)))
+    return den
+
+
 def maybe_denoise(wav: np.ndarray, sr: int, amount: float) -> np.ndarray:
-    """Blend with a denoised copy (reference inference.py:190-192).
-    noisereduce is not installed in this environment: warn and skip."""
+    """Blend with a denoised copy (reference inference.py:190-192:
+    `audio * (1 - d) + noisereduce(audio) * d`), using the in-repo
+    spectral gate — the reference's default style path no longer degrades
+    to a no-op when noisereduce is absent."""
     if amount <= 0:
         return wav
-    try:
-        import noisereduce as nr  # pragma: no cover - optional dep
-    except ImportError:
-        print("styletts2_tpu: noisereduce not installed; skipping denoise")
-        return wav
-    den = nr.reduce_noise(y=wav, sr=sr, n_fft=2048, win_length=1200,
-                          hop_length=300)  # pragma: no cover
-    return wav * (1.0 - amount) + den * amount  # pragma: no cover
+    den = spectral_gate_denoise(wav, sr)
+    return (wav * (1.0 - amount) + den * amount).astype(np.float32)

@@ -125,13 +125,16 @@ class SLMAdvParams:
     block (Modules/slmadv.py + second-stage config), opt-in here.
 
     wavlm_path: local torch state_dict (or native ckpt) for the
-    wavlm-base-plus backbone; empty = random init (smoke tests only)."""
+    wavlm-base-plus backbone. Required when enabled — training the slmadv
+    stage against a randomly initialized WavLM optimizes against noise;
+    set allow_random_wavlm=true to opt into that for smoke tests only."""
 
     enabled: bool = False
     iter: int = 10          # run every `iter` train steps (skip_update)
     scale: float = 0.01     # loss scale (upstream config: 0.01)
     sig: float = 1.5        # soft-alignment gaussian width
     wavlm_path: str = ""
+    allow_random_wavlm: bool = False
 
 
 @dataclass

@@ -22,7 +22,12 @@ TPU-first redesign of the execution:
 Behavioral deviations (documented):
 * reference-audio lengths are truncated to 1 s granularity for style
   computation (static shapes); the reference uses exact lengths;
-* denoise requires noisereduce, absent here -> warned and skipped.
+* denoise uses the in-repo spectral gate (audio.spectral_gate_denoise),
+  implementing the same stationary noisereduce algorithm the reference
+  blends in by default (inference.py:190-192);
+* a chunk whose frames exceed the largest compiled bucket is split at a
+  token boundary (no rate change) instead of synthesized in one dynamic
+  graph.
 """
 
 from __future__ import annotations
@@ -102,6 +107,11 @@ class StyleTTS2:
         # duration predictor's output) — deterministic latency for
         # benchmarking and load testing
         self.fixed_duration: Optional[int] = None
+        # global multiplier on the duration head's raw output (applied
+        # before stabilization/speed). A rate trim on real weights; with
+        # random weights it lets benchmarks exercise the FULL duration path
+        # (phase-1 -> host glue -> phase-2) at a realistic frames/token
+        self.duration_scale: Optional[float] = None
         # chunk-batching: same-bucket chunks share one phase-1/phase-2 call;
         # batch sizes are padded to these compiled sizes
         self.mesh = mesh
@@ -110,7 +120,7 @@ class StyleTTS2:
             # batch dims must divide evenly over the mesh
             self.batch_buckets = (n_dev, 2 * n_dev, 4 * n_dev)
         else:
-            self.batch_buckets: Tuple[int, ...] = (1, 2, 4, 8)
+            self.batch_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16)
         self.max_batch: int = self.batch_buckets[-1]
 
         if params is None:
@@ -288,18 +298,21 @@ class StyleTTS2:
         return y
 
     def _postprocess_durations(self, duration: np.ndarray, speed: float,
-                               prev_d_mean: float, t: float
+                               prev_d_mean: float, t: float,
+                               rng: Optional[np.random.Generator] = None
                                ) -> Tuple[np.ndarray, int, float]:
         """Host duration glue: stabilization blend, outlier clamp, speed,
-        rounding, overflow compression (reference inference.py:248-263)."""
+        rounding (reference inference.py:248-263)."""
         if self.fixed_duration is not None:
             duration = np.full(len(duration), float(self.fixed_duration),
                                np.float32)
             t = 0.0
+        elif self.duration_scale is not None:
+            duration = duration * self.duration_scale
         if t > 0:  # stochastic rate stabilization (inference.py:248-252)
             mean = prev_d_mean if prev_d_mean != 0 else duration.mean()
-            dur_stats = self._rng.normal(mean, duration.std(),
-                                         size=duration.shape)
+            dur_stats = (rng if rng is not None else self._rng).normal(
+                mean, duration.std(), size=duration.shape)
             duration = duration * (1 - t) + dur_stats * t
         duration = np.array(duration)
         duration[1:-2] = self._replace_outliers_zscore(duration[1:-2])
@@ -307,20 +320,38 @@ class StyleTTS2:
         new_d_mean = float(duration.mean())
 
         pred_dur = np.clip(np.round(duration), 1, None).astype(np.int32)
-        total = int(pred_dur.sum())
         max_frames = self.cfg.tpu.frame_buckets[-1]
-        if total > max_frames:
-            # graceful overflow: proportionally compress durations into the
-            # largest compiled bucket (a speed-up on this chunk) instead of
-            # failing; raise frame_buckets to avoid this.
-            print(f"styletts2_tpu: chunk needs {total} frames > largest "
-                  f"bucket {max_frames}; compressing durations")
-            pred_dur = np.maximum(
-                (pred_dur * (max_frames / total)).astype(np.int32), 1)
-            while int(pred_dur.sum()) > max_frames:
-                pred_dur[np.argmax(pred_dur)] -= 1
-            total = int(pred_dur.sum())
+        if pred_dur.max(initial=0) > max_frames:
+            # a SINGLE token asking for more frames than the largest bucket
+            # cannot be split at a token boundary — clamp it (last resort;
+            # in practice only reachable with absurd speed values)
+            pred_dur = np.minimum(pred_dur, max_frames)
+        total = int(pred_dur.sum())
         return pred_dur, total, new_d_mean
+
+    @staticmethod
+    def _split_spans(pred_dur: np.ndarray, max_frames: int
+                     ) -> List[Tuple[int, int]]:
+        """Split a chunk's tokens into contiguous spans whose duration sums
+        each fit the largest compiled frame bucket. Replaces the old
+        proportional duration compression (which silently sped up speech);
+        splitting keeps every token's duration intact — the synthesized
+        length equals the unsplit durations' sum exactly. (The reference has
+        no frame limit — dynamic shapes, inference.py:258-263; the only
+        artifact of a split is a vocoder seam at one token boundary.)"""
+        total = int(pred_dur.sum())
+        if total <= max_frames:
+            return [(0, len(pred_dur))]
+        spans: List[Tuple[int, int]] = []
+        a = 0
+        acc = 0
+        for i, d in enumerate(pred_dur):
+            if acc + int(d) > max_frames:
+                spans.append((a, i))
+                a, acc = i, 0
+            acc += int(d)
+        spans.append((a, len(pred_dur)))
+        return spans
 
     def _synthesize_chunk(self, sentence: str, ref_s, speed: float = 1.0,
                           prev_d_mean: float = 0.0, t: float = 0.1
@@ -336,9 +367,9 @@ class StyleTTS2:
                            ) -> Tuple[List[np.ndarray], List[float],
                                       List[int]]:
         """Pipelined multi-chunk synthesis; see _synthesize_plan."""
-        wav_dev_of, total_of, means, origin = self._synthesize_plan(
+        wav_parts_of, means, origin = self._synthesize_plan(
             sentences, ref_s, speed, prev_d_mean, t, chain_of)
-        return self._fetch_all(wav_dev_of, total_of), means, origin
+        return self._fetch_all(wav_parts_of), means, origin
 
     def _synthesize_plan(self, sentences: List[str], ref_s,
                          speed: float, prev_d_mean: float, t: float,
@@ -353,11 +384,13 @@ class StyleTTS2:
         sequential per-sentence loop (inference.py:303-319).
 
         chain_of: optional per-input-sentence chain id; the stochastic
-        rate-stabilization mean chains only WITHIN a chain (used by
-        generate_batch so independent texts don't couple). Returns
-        (wav_dev_of, total_of, means, origin) where origin[i] is the input
-        sentence index chunk i came from (bucket-overflow splitting can
-        grow the chunk list)."""
+        rate-stabilization mean AND its noise stream chain only WITHIN a
+        chain (used by generate_batch so independent texts don't couple).
+        Returns (wav_parts_of, means, origin): wav_parts_of[i] is chunk i's
+        ordered list of (device_batch, row, n_frames) pieces (frame-bucket
+        overflow splits a chunk into several phase-2 pieces); origin[i] is
+        the input sentence index chunk i came from (token-bucket overflow
+        splitting can grow the chunk list)."""
         s = jnp.asarray(ref_s)
 
         # split any chunk whose token count exceeds the largest compiled
@@ -426,33 +459,52 @@ class StyleTTS2:
                 host_dur[id(dur_dev)] = np.asarray(dur_dev)
         means: List[float] = []
         chain_mean: Dict[int, float] = {}
+        chain_rng: Dict[int, np.random.Generator] = {}
+        base_seed = int(self._rng.integers(2 ** 63))
         pred_of = [None] * n_chunks
-        total_of = [0] * n_chunks
-        fb_of = [0] * n_chunks
         for i in range(n_chunks):
             dur_dev, row = dur_dev_of[i]
             duration = host_dur[id(dur_dev)][row, : len(tokenized[i])]
             chain = chain_of[origin[i]] if chain_of is not None else 0
             prev = chain_mean.get(chain, prev_d_mean)
-            pred_dur, total, new_mean = self._postprocess_durations(
-                duration, speed, prev, t)
+            if chain not in chain_rng:
+                # per-chain noise stream: a text's stabilized durations
+                # depend only on its own chunk sequence, not on what other
+                # texts share the batch
+                chain_rng[chain] = np.random.default_rng([base_seed, chain])
+            pred_dur, _total, new_mean = self._postprocess_durations(
+                duration, speed, prev, t, rng=chain_rng[chain])
             chain_mean[chain] = new_mean
             means.append(new_mean)
             pred_of[i] = pred_dur
-            total_of[i] = total
-            fb_of[i] = _bucket(self.cfg.tpu.frame_buckets, total)
 
-        # wave 2: batch chunks with the same FRAME bucket through ONE
+        # pieces: each chunk becomes >= 1 contiguous token spans whose frame
+        # totals fit the largest compiled bucket (frame-bucket overflow is
+        # handled by SPLITTING, never by changing the speaking rate)
+        max_frames = self.cfg.tpu.frame_buckets[-1]
+        piece_chunk: List[int] = []     # piece -> source chunk
+        piece_span: List[Tuple[int, int]] = []
+        piece_total: List[int] = []
+        pieces_of: List[List[int]] = [[] for _ in range(n_chunks)]
+        for i in range(n_chunks):
+            for (a, b) in self._split_spans(pred_of[i], max_frames):
+                pieces_of[i].append(len(piece_chunk))
+                piece_chunk.append(i)
+                piece_span.append((a, b))
+                piece_total.append(int(pred_of[i][a:b].sum()))
+
+        # wave 2: batch pieces with the same FRAME bucket through ONE
         # phase-2 call — the token dim is padded to the group max (a
         # zero-duration token contributes nothing to the alignment matmuls,
         # so mixing token buckets in one call is exact) to keep batches
         # large: phase-2 carries a serial BiLSTM scan whose cost is
         # per-call, not per-row
         by_f: Dict[int, List[int]] = {}
-        for i in range(n_chunks):
-            by_f.setdefault(fb_of[i], []).append(i)
+        for p in range(len(piece_chunk)):
+            by_f.setdefault(_bucket(self.cfg.tpu.frame_buckets,
+                                    piece_total[p]), []).append(p)
 
-        wav_dev_of = [None] * n_chunks
+        wav_dev_of_piece = [None] * len(piece_chunk)
         for fb, idxs in by_f.items():
             if self.mesh is None:
                 groups = _partition_exact(idxs, self.batch_buckets)
@@ -466,51 +518,70 @@ class StyleTTS2:
                 bb = (len(group) if self.mesh is None
                       else _bucket(self.batch_buckets, len(group)))
                 rows = list(group) + [group[-1]] * (bb - len(group))
-                tb = max(tbs[i] for i in group)
-                srcs = [t_en_of[i] for i in rows]
-                if (srcs[0][0].shape[0] == bb
-                        and all(s[0] is srcs[0][0] for s in srcs)
-                        and [s[1] for s in srcs] == list(range(bb))):
+                tb = max(tbs[piece_chunk[p]] for p in group)
+                full = [piece_span[p] == (0, len(pred_of[piece_chunk[p]]))
+                        for p in rows]
+                srcs = [t_en_of[piece_chunk[p]] for p in rows]
+                if (all(full) and srcs[0][0].shape[0] == bb
+                        and all(x[0] is srcs[0][0] for x in srcs)
+                        and [x[1] for x in srcs] == list(range(bb))):
                     # the group is exactly one phase-1 batch, in order —
                     # reuse its outputs without device gather/stack ops
                     t_en = srcs[0][0]
-                    d = d_of[group[0]][0]
+                    d = d_of[piece_chunk[group[0]]][0]
                 else:
-                    def _row(of, i):
-                        arr = of[i][0][of[i][1]]  # (tb_i, C)
+                    def _row(of, p):
+                        i = piece_chunk[p]
+                        a, b = piece_span[p]
+                        arr = of[i][0][of[i][1]][a:b]  # (span, C)
                         if arr.shape[0] < tb:
                             arr = jnp.pad(
                                 arr, ((0, tb - arr.shape[0]), (0, 0)))
                         return arr
                     t_en = self._put_data(
-                        jnp.stack([_row(t_en_of, i) for i in rows]))
+                        jnp.stack([_row(t_en_of, p) for p in rows]))
                     d = self._put_data(
-                        jnp.stack([_row(d_of, i) for i in rows]))
+                        jnp.stack([_row(d_of, p) for p in rows]))
                 durs = np.zeros((bb, tb), np.int32)
-                for row, i in enumerate(rows):
-                    durs[row, : len(pred_of[i])] = pred_of[i]
+                for row, p in enumerate(rows):
+                    a, b = piece_span[p]
+                    durs[row, : b - a] = pred_of[piece_chunk[p]][a:b]
                 sb = self._put_data(jnp.broadcast_to(s, (bb,) + s.shape[1:]))
                 wav = self._phase2(self.params, t_en, d, sb,
                                    self._put_data(durs), n_frames=fb)
-                for row, i in enumerate(group):
-                    wav_dev_of[i] = (wav, row)
+                for row, p in enumerate(group):
+                    wav_dev_of_piece[p] = (wav, row)
 
-        return wav_dev_of, total_of, means, origin
+        # chunk i's audio = its pieces' audio, in token order
+        wav_parts_of = [[wav_dev_of_piece[p] + (piece_total[p],)
+                         for p in pieces_of[i]] for i in range(n_chunks)]
+        return wav_parts_of, means, origin
 
-    def _fetch_chunk(self, host_wav: Dict[int, np.ndarray], wav_dev_of,
-                     total_of, i: int) -> np.ndarray:
-        """Fetch chunk i's waveform, caching each distinct phase-2 batch
-        buffer (every device->host copy is a full tunnel round trip)."""
-        wav_dev, row = wav_dev_of[i]
-        if id(wav_dev) not in host_wav:
-            host_wav[id(wav_dev)] = np.asarray(wav_dev)
-        return (host_wav[id(wav_dev)][row, : total_of[i] * 2 * self.hop]
-                .astype(np.float32) / 32767.0)
+    def _fetch_chunk(self, host_wav: Dict[int, np.ndarray], wav_parts_of,
+                     i: int) -> np.ndarray:
+        """Fetch chunk i's waveform (concatenating its pieces), caching each
+        distinct phase-2 batch buffer (every device->host copy is a full
+        tunnel round trip)."""
+        segs = []
+        for wav_dev, row, total in wav_parts_of[i]:
+            if id(wav_dev) not in host_wav:
+                host_wav[id(wav_dev)] = np.asarray(wav_dev)
+            segs.append(host_wav[id(wav_dev)][row, : total * 2 * self.hop])
+        return np.concatenate(segs).astype(np.float32) / 32767.0
 
-    def _fetch_all(self, wav_dev_of, total_of) -> List[np.ndarray]:
+    def _fetch_all(self, wav_parts_of) -> List[np.ndarray]:
+        # start every distinct buffer's device->host copy before blocking on
+        # the first: transfers overlap each other (and any still-running
+        # phase-2 compute) instead of serializing round trips
+        started = set()
+        for parts in wav_parts_of:
+            for wav_dev, _row, _total in parts:
+                if id(wav_dev) not in started:
+                    started.add(id(wav_dev))
+                    wav_dev.copy_to_host_async()
         host_wav: Dict[int, np.ndarray] = {}
-        return [self._fetch_chunk(host_wav, wav_dev_of, total_of, i)
-                for i in range(len(wav_dev_of))]
+        return [self._fetch_chunk(host_wav, wav_parts_of, i)
+                for i in range(len(wav_parts_of))]
 
     def generate(self, phonem: str, style: Dict[str, Any],
                  stabilize: bool = True, n_merge: int = 16) -> np.ndarray:
@@ -540,12 +611,12 @@ class StyleTTS2:
         if not chunks:
             yield np.zeros(8000, np.float32)
             return
-        wav_dev_of, total_of, _, _ = self._synthesize_plan(
+        wav_parts_of, _, _ = self._synthesize_plan(
             chunks, style["style"], style.get("speed", 1.0), 0.0, smooth)
         host_wav: Dict[int, np.ndarray] = {}
-        n = len(wav_dev_of)
+        n = len(wav_parts_of)
         for i in range(n):
-            w = self._fetch_chunk(host_wav, wav_dev_of, total_of, i)
+            w = self._fetch_chunk(host_wav, wav_parts_of, i)
             seg = w[4000:-4000]
             if i == 0:
                 seg = np.concatenate([np.zeros(4000, np.float32), seg])
@@ -561,8 +632,10 @@ class StyleTTS2:
         Chunk-level batching spans texts, so the compiled batch sizes that
         single-text synthesis leaves partially idle are filled — higher
         chip utilization than calling generate() per text. Each text gets
-        its own rate-stabilization chain (independent texts don't couple).
-        No reference equivalent."""
+        its own rate-stabilization chain AND its own stabilization noise
+        stream, so a text's audio does not depend on what other texts share
+        the batch (with stabilize=True the noise seed still advances the
+        engine RNG once per call). No reference equivalent."""
         smooth = 0.2 if stabilize else 0.0
         per_text = [split_into_chunks(t, n_merge=n_merge) for t in phonems]
         flat: List[str] = []
@@ -590,15 +663,25 @@ class StyleTTS2:
     # ------------------------------------------------------------------
 
     def warmup(self, token_buckets=None, frame_buckets=None,
-               style_seconds=(1, 3)) -> None:
-        """Precompile the jitted graphs for the given buckets."""
+               style_seconds=(1, 3), batch_sizes=None) -> None:
+        """Precompile the jitted graphs for the given buckets.
+
+        Inputs are routed through _put_data and batch sizes default to the
+        engine's compiled batch buckets, so the warmed signatures (batch,
+        token/frame bucket, sharding) are exactly the ones the runtime
+        dispatches — in mesh mode the minimum runtime batch is the device
+        count, never 1."""
         s = jnp.zeros((1, self.cfg.model_params.style_dim), jnp.float32)
         for sec in style_seconds:
             self._style_fn(self.params, jnp.zeros((1, sec * self.sr)))
-        for tb in token_buckets or self.cfg.tpu.token_buckets[:2]:
-            tokens = jnp.zeros((1, tb), jnp.int32)
-            mask = jnp.ones((1, tb), bool)
-            t_en, d, dur = self._phase1(self.params, tokens, mask, s)
-            for fbk in frame_buckets or self.cfg.tpu.frame_buckets[:2]:
-                durs = jnp.ones((1, tb), jnp.int32)
-                self._phase2(self.params, t_en, d, s, durs, n_frames=fbk)
+        sizes = tuple(batch_sizes) if batch_sizes else self.batch_buckets[:1]
+        for bb in sizes:
+            sb = self._put_data(jnp.broadcast_to(s, (bb,) + s.shape[1:]))
+            for tb in token_buckets or self.cfg.tpu.token_buckets[:2]:
+                tokens = self._put_data(np.zeros((bb, tb), np.int32))
+                mask = self._put_data(np.ones((bb, tb), bool))
+                t_en, d, _dur = self._phase1(self.params, tokens, mask, sb)
+                for fbk in frame_buckets or self.cfg.tpu.frame_buckets[:2]:
+                    durs = self._put_data(np.ones((bb, tb), np.int32))
+                    self._phase2(self.params, t_en, d, sb, durs,
+                                 n_frames=fbk)

@@ -203,7 +203,8 @@ def adain_res_block1_apply(p, x: jnp.ndarray, s: jnp.ndarray,
                            kernel_size: int, dilation=(1, 3, 5),
                            mask: Optional[jnp.ndarray] = None,
                            n_valid: Optional[jnp.ndarray] = None,
-                           fold: Optional[int] = None) -> jnp.ndarray:
+                           fold: Optional[int] = None,
+                           rate_prod: Optional[int] = None) -> jnp.ndarray:
     """x: (B, T, C); the weight-norm convs keep T (SAME padding).
 
     When `n_valid` is given (prefix-mask lengths — inference), the
@@ -224,7 +225,15 @@ def adain_res_block1_apply(p, x: jnp.ndarray, s: jnp.ndarray,
                 and c <= 32 and 128 % c == 0
                 and "weight" in p["convs1"]["0"]):
             f = 128 // c
-            if x.shape[1] % f == 0:
+            # with a mask, the masked stats use n_valid // f groups: exact
+            # only when every valid prefix length divides f. n_valid is
+            # n_val * rate_prod (the decoder stage contract), so gate
+            # statically on the stage's cumulative upsample product —
+            # custom upsample_rates whose product isn't a multiple of f
+            # take the unfolded path instead of zeroing valid tail samples
+            if x.shape[1] % f == 0 and (
+                    mask is None
+                    or (rate_prod is not None and rate_prod % f == 0)):
                 fold = f
     if fold > 1:
         b_sz, t_sz = x.shape[0], x.shape[1]
@@ -251,6 +260,8 @@ def adain_res_block1_apply(p, x: jnp.ndarray, s: jnp.ndarray,
     # remote-compile service, so the XLA path stays the default.
     use_pallas = (os.environ.get("STYLETTS2_TPU_VOCODER_PALLAS") == "1"
                   and n_valid is not None
+                  and mask is not None  # kernel zeroes >= n_valid; mask=None
+                  # must mean unmasked in all three paths (commit 77db1a6)
                   and jax.default_backend() == "tpu"
                   and "weight" in p["convs1"]["0"]  # fused weight norm only
                   and x.shape[-1] >= 64)

@@ -201,7 +201,8 @@ def hifigan_generator_apply(p, x: jnp.ndarray, s: jnp.ndarray,
         x_source = B.adain_res_block1_apply(
             p["noise_res"][str(i)], x_source, s,
             7 if i + 1 < n_up else 11, (1, 3, 5), m_out,
-            n_valid=stage_count(i + 1))
+            n_valid=stage_count(i + 1),
+            rate_prod=int(np.prod(rates[: i + 1])))
         x = L.conv_transpose1d_apply(p["ups"][str(i)], x, stride=u,
                                      padding=u // 2 + u % 2,
                                      output_padding=u % 2)
@@ -212,7 +213,8 @@ def hifigan_generator_apply(p, x: jnp.ndarray, s: jnp.ndarray,
                 p["resblocks"][str(i * n_kernels + j)], x, s,
                 cfg.resblock_kernel_sizes[j],
                 tuple(cfg.resblock_dilation_sizes[j]), m_out,
-                n_valid=stage_count(i + 1))
+                n_valid=stage_count(i + 1),
+                rate_prod=int(np.prod(rates[: i + 1])))
             xs = r if xs is None else xs + r
         x = xs / n_kernels
     x = L.snake(x, B._alpha_cl(p["alphas"][str(n_up)], x.dtype))
@@ -283,7 +285,8 @@ def decoder_init(key, cfg: DecoderConfig, dim_in: int = 512,
         },
         "F0_conv": L.conv1d_init(keys[5], 1, 1, 3, weight_norm=True),
         "N_conv": L.conv1d_init(keys[6], 1, 1, 3, weight_norm=True),
-        "asr_res": {"0": L.conv1d_init(keys[7], 512, 64, 1, weight_norm=True)},
+        "asr_res": {"0": L.conv1d_init(keys[7], dim_in, 64, 1,
+                                       weight_norm=True)},
     }
     if cfg.type == "hifigan":
         p["generator"] = hifigan_generator_init(keys[8], cfg, style_dim)

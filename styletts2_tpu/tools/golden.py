@@ -1,0 +1,98 @@
+"""Golden parity fixtures: shared module specs + deterministic inputs.
+
+`styletts2_tpu/tools/export_golden_fixtures.py` (needs torch + the reference repo
+mounted) instantiates the reference torch modules at the sizes below,
+records their state_dicts and outputs into `tests/fixtures/golden_*.npz`;
+`tests/test_golden_fixtures.py` replays those fixtures against this repo's
+modules with NEITHER torch NOR the reference present — the parity signal
+survives any environment (the live parity tests in test_models_parity.py
+additionally cover the full-size modules when torch+reference exist).
+
+Module sizes are scaled down (the math is dimension-generic) so the
+committed fixtures stay ~1 MB; inputs are regenerated identically on both
+sides from numpy seeds, so only weights and reference outputs are stored.
+Layouts in the fixture files are TORCH layouts (B, C, T); the test side
+transposes exactly like test_models_parity.py does.
+
+Reference modules covered: TextEncoder (models.py:238-299), StyleEncoder
+(models.py:125-150), ProsodyPredictor + F0Ntrain (models.py:394-461),
+hifigan.Generator (hifigan.py:272-356), vocos.Generator (vocos.py:108-162).
+istftnet is excluded: its source-STFT phase features are branch-cut
+ambiguous (not reproducible between the reference's own CPU/CUDA runs), so
+a recorded output cannot be compared without sharing intermediates — see
+test_models_parity.py::test_decoder_parity[istftnet] for the live strategy.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+FIXTURE_DIR_NAME = "fixtures"
+
+# the constant that replaces the sine source's noise draws on both sides
+# (a strictly-zero noise floor is numerically chaotic in the reference; see
+# test_models_parity._patch_determinism)
+SINE_NOISE_CONST = 0.3
+
+SPECS: Dict[str, Dict[str, Any]] = {
+    "text_encoder": dict(channels=64, kernel_size=5, depth=2, n_symbols=50),
+    "style_encoder": dict(dim_in=16, style_dim=32, max_conv_dim=64),
+    "predictor": dict(style_dim=32, d_hid=64, nlayers=2, max_dur=10,
+                      dropout=0.2),
+    "hifigan_generator": dict(style_dim=32,
+                              resblock_kernel_sizes=[3, 7],
+                              upsample_rates=[10, 6],
+                              upsample_initial_channel=64,
+                              # the reference AdaINResBlock1 hard-codes 3
+                              # dilation taps (hifigan.py:28-45)
+                              resblock_dilation_sizes=[[1, 3, 5], [1, 3, 5]],
+                              upsample_kernel_sizes=[20, 12]),
+    "vocos_generator": dict(style_dim=32, dim=64, intermediate_dim=128,
+                            num_layers=2, gen_istft_n_fft=40,
+                            gen_istft_hop_size=10),
+}
+
+
+def make_inputs(name: str) -> Dict[str, np.ndarray]:
+    """Deterministic inputs in TORCH layout, identical on both sides."""
+    rng = np.random.default_rng([17, len(name), sum(map(ord, name))])
+    s = SPECS[name]
+    if name == "text_encoder":
+        return {
+            "tokens": rng.integers(0, s["n_symbols"], (2, 12)).astype(np.int64),
+            "lengths": np.array([12, 8], np.int64),
+        }
+    if name == "style_encoder":
+        # odd T exercises the edge-duplication path (models.py:53-63)
+        return {"mel": rng.standard_normal((2, 1, 80, 121)).astype(np.float32)}
+    if name == "predictor":
+        b, t, f = 2, 10, 16
+        lengths = np.array([t, 7], np.int64)
+        valid = (np.arange(t)[None, :] < lengths[:, None])
+        t_en = rng.standard_normal((b, s["d_hid"], t)).astype(np.float32)
+        t_en *= valid[:, None, :]
+        align = (rng.random((b, t, f)).astype(np.float32)
+                 * valid[..., None])
+        return {
+            "t_en": t_en, "s": rng.standard_normal(
+                (b, s["style_dim"])).astype(np.float32),
+            "lengths": lengths, "align": align,
+        }
+    if name == "hifigan_generator":
+        b, f = 1, 20  # x and f0 are both at MEL rate (hifigan.py:321-325)
+        return {
+            "x": rng.standard_normal(
+                (b, s["upsample_initial_channel"], f)).astype(np.float32),
+            "s": rng.standard_normal((b, s["style_dim"])).astype(np.float32),
+            "f0": (np.abs(rng.standard_normal((b, f))) * 100.0
+                   + 80.0).astype(np.float32),
+        }
+    if name == "vocos_generator":
+        b, f = 1, 20
+        return {
+            "x": rng.standard_normal((b, s["dim"], f)).astype(np.float32),
+            "s": rng.standard_normal((b, s["style_dim"])).astype(np.float32),
+        }
+    raise KeyError(name)

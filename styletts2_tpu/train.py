@@ -77,11 +77,12 @@ def compute_mels(waves: jnp.ndarray, cfg: ModelConfig,
 
 def generator_forward(params: Dict[str, Any], batch: Batch, mels: jnp.ndarray,
                       rng, cfg: ModelConfig, crop_frames: int,
-                      train: bool = True):
+                      train: bool = True, hop: int = 300):
     """Shared generator-side forward (reference train.py:202-267).
 
     crop_frames: static per-bucket crop size at the half-mel rate
-    (the reference's mel_len, train.py:235).
+    (the reference's mel_len, train.py:235). hop: mel hop length in
+    samples (one half-mel frame is 2*hop waveform samples).
     Returns (y_rec, wav_crop, aux dict of intermediates for the losses)."""
     b = mels.shape[0]
     t_mel = mels.shape[-1]
@@ -137,8 +138,8 @@ def generator_forward(params: Dict[str, Any], batch: Batch, mels: jnp.ndarray,
     gt = jax.vmap(lambda x, st: crop(x, st, 2 * crop_frames))(
         jnp.swapaxes(mels, 1, 2), starts * 2)
     gt = jnp.swapaxes(gt, 1, 2)  # (B, n_mels, 2*crop)
-    wav = jax.vmap(lambda x, st: crop(x, st, crop_frames * 2 * 300))(
-        batch.waves, starts * 600)
+    wav = jax.vmap(lambda x, st: crop(x, st, crop_frames * 2 * hop))(
+        batch.waves, starts * 2 * hop)
 
     # --- acoustic targets + synthesis (train.py:258-267) -----------------
     s_crop = SE.apply(params["style_encoder"], gt)
@@ -164,10 +165,10 @@ def generator_forward(params: Dict[str, Any], batch: Batch, mels: jnp.ndarray,
 
 def generator_losses(params: Dict[str, Any], batch: Batch, mels: jnp.ndarray,
                      rng, cfg: ModelConfig, lp: LossParams, crop_frames: int,
-                     train: bool = True):
+                     train: bool = True, hop: int = 300):
     """All generator-side losses (train.py:279-315), batched/masked."""
     y_rec, wav, aux = generator_forward(params, batch, mels, rng, cfg,
-                                        crop_frames, train)
+                                        crop_frames, train, hop=hop)
     b, t_text = batch.texts.shape
     text_valid = L.length_to_valid_mask(batch.input_lengths, t_text)
 
@@ -247,7 +248,8 @@ def make_step_pair(cfg: Config, multi_opt, crop_frames: Optional[int] = None):
                batch: Batch, rng):
         mels = compute_mels(batch.waves, mp, sp)
         y_rec, wav, _ = generator_forward(params, batch, mels, rng, mp,
-                                          crop, train=True)
+                                          crop, train=True,
+                                          hop=sp.hop_length)
         y_rec_d = jax.lax.stop_gradient(y_rec)
 
         def d_loss_fn(d_params):
@@ -274,7 +276,7 @@ def make_step_pair(cfg: Config, multi_opt, crop_frames: Optional[int] = None):
             full = dict(params)
             full.update(g_params)
             return generator_losses(full, batch, mels, rng, mp, lp, crop,
-                                    train=True)
+                                    train=True, hop=sp.hop_length)
 
         g_params = {k: params[k] for k in GEN_MODULES}
         (g_loss, (_, _, metrics)), g_grads = jax.value_and_grad(
@@ -345,7 +347,8 @@ def eval_step_fn(cfg: Config, crop_frames: Optional[int] = None):
     def eval_step(params, batch: Batch, rng):
         mels = compute_mels(batch.waves, mp, sp)
         _, (_, _, metrics) = generator_losses(params, batch, mels, rng, mp,
-                                              lp, crop, train=False)
+                                              lp, crop, train=False,
+                                              hop=sp.hop_length)
         return metrics
 
     return eval_step

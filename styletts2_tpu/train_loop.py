@@ -55,14 +55,6 @@ class MetricsWriter:
         self._f.flush()
 
 
-def freeze_grads(grads_tree: Dict[str, Any], frozen: set):
-    import jax
-
-    return {k: (jax.tree_util.tree_map(lambda g: g * 0.0, v)
-                if k in frozen else v)
-            for k, v in grads_tree.items()}
-
-
 def main(argv=None) -> None:
     import jax
     import jax.numpy as jnp
@@ -194,6 +186,13 @@ def main(argv=None) -> None:
 
             sd = torch.load(cfg.slmadv_params.wavlm_path, map_location="cpu")
             wavlm_params = WL.convert_torch_state_dict(sd, wl_cfg)
+        elif not cfg.slmadv_params.allow_random_wavlm:
+            raise RuntimeError(
+                "slmadv_params.enabled requires slmadv_params.wavlm_path "
+                "(a wavlm-base-plus state_dict): without pretrained WavLM "
+                "weights the adversarial stage trains against noise. Set "
+                "slmadv_params.allow_random_wavlm: true only for smoke "
+                "tests.")
         else:
             logger.warning("slmadv enabled without wavlm_path: the WavLM "
                            "backbone is RANDOMLY initialized (smoke only)")

@@ -35,6 +35,32 @@ enable_compilation_cache()
 
 REFERENCE_ROOT = "/root/reference"
 
+# ---------------------------------------------------------------------------
+# Test tiers (see pytest.ini): `-m quick` = minutes on 1 CPU; `-m slow` =
+# the four multi-minute-compile files; no flag = everything.
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+QUICK_MODULES = {
+    "test_text", "test_config", "test_align", "test_stft", "test_layers",
+    "test_data", "test_tools", "test_audio_formats", "test_denoise",
+    "test_quick_e2e", "test_golden_fixtures",
+}
+SLOW_MODULES = {
+    "test_train_step", "test_parallel", "test_composed_parity",
+    "test_slm_train",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__
+        if mod in QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
+        if mod in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 def has_reference() -> bool:
     return os.path.isdir(REFERENCE_ROOT)

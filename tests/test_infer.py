@@ -157,6 +157,72 @@ def test_mesh_sharded_inference_matches_single_device(engine):
     np.testing.assert_allclose(a, b, atol=2e-4)
 
 
+def test_frame_overflow_splits_without_rate_change(engine, capsys):
+    """A chunk needing ~2x the largest frame bucket is split at a token
+    boundary into pieces — audio length equals the unsplit durations' sum
+    exactly (the old behavior compressed durations: a silent speed-up).
+    Reference: no frame limit at all (inference.py:258-263)."""
+    rng = np.random.default_rng(21)
+    wav_ref = (rng.standard_normal(24000 * 3) * 0.1).astype(np.float32)
+    engine.ref_s = engine.compute_style(wav_ref, denoise=0.0)
+
+    sentence = "one two three four five six seven eight nine ten"
+    tokens = engine.cleaner(sentence)
+    n_tok = len(tokens) + 2  # pad wrap
+    max_fb = engine.cfg.tpu.frame_buckets[-1]
+    per_tok = int(np.ceil(2.0 * max_fb / n_tok))  # ~2x the largest bucket
+    engine.fixed_duration = per_tok
+    try:
+        wavs, _, _ = engine._synthesize_chunks([sentence], engine.ref_s,
+                                               1.0, 0.0, 0.0)
+    finally:
+        engine.fixed_duration = None
+    want_frames = n_tok * per_tok
+    assert want_frames > max_fb  # the premise: this chunk overflows
+    assert len(wavs[0]) == want_frames * 2 * engine.hop
+    assert np.isfinite(wavs[0]).all()
+    assert "compressing durations" not in capsys.readouterr().out
+
+
+def test_split_spans_partition():
+    spans = StyleTTS2._split_spans(np.array([5, 5, 5, 5, 5]), 12)
+    assert spans == [(0, 2), (2, 4), (4, 5)]
+    spans = StyleTTS2._split_spans(np.array([5, 5]), 12)
+    assert spans == [(0, 2)]
+    # spans tile the token range exactly
+    d = np.array([3, 9, 1, 7, 2, 8, 4])
+    spans = StyleTTS2._split_spans(d, 10)
+    assert spans[0][0] == 0 and spans[-1][1] == len(d)
+    for (a, b), (a2, _) in zip(spans, spans[1:]):
+        assert b == a2
+    for a, b in spans:
+        assert d[a:b].sum() <= 10
+
+
+def test_generate_batch_composition_independent_with_stabilize():
+    """With stabilize=True, a text's audio must not depend on which other
+    texts share the batch (per-chain noise streams)."""
+    cfg = load_config({
+        "model_params": {"decoder": {"type": "hifigan"}},
+        "tpu": {"token_buckets": [32, 64],
+                "frame_buckets": [80, 160, 240, 480, 960],
+                "decoder_dtype": "float32"},
+        "debug": False,
+    })
+    rng = np.random.default_rng(22)
+    wav_ref = (rng.standard_normal(24000 * 3) * 0.1).astype(np.float32)
+    text_a = "one two three. four five six."
+    e1 = StyleTTS2(cfg, seed=5)
+    s1 = {"style": e1.compute_style(wav_ref, denoise=0.0), "speed": 1.0}
+    out1 = e1.generate_batch([text_a, "seven eight."], s1, stabilize=True,
+                             n_merge=1)
+    e2 = StyleTTS2(cfg, seed=5)
+    s2 = {"style": e2.compute_style(wav_ref, denoise=0.0), "speed": 1.0}
+    out2 = e2.generate_batch([text_a, "nine ten eleven twelve. thirteen."],
+                             s2, stabilize=True, n_merge=1)
+    np.testing.assert_allclose(out1[0], out2[0], atol=2e-4)
+
+
 def test_save_load_styles(engine, tmp_path):
     rng = np.random.default_rng(4)
     wav_ref = (rng.standard_normal(24000 * 3) * 0.1).astype(np.float32)

@@ -1,0 +1,90 @@
+"""Tiny end-to-end synthesis smoke for the quick tier.
+
+Same code paths as test_infer.py (engine init, style, two-phase bucketed
+synthesis, stream/batch equivalence) but on a scaled-down model config so
+the whole file compiles and runs in well under a minute on 1 CPU — the
+regression canary that always gets run. Full-size coverage stays in
+test_infer.py (unmarked tier).
+"""
+
+import numpy as np
+import pytest
+
+from styletts2_tpu.config import load_config
+from styletts2_tpu.infer import StyleTTS2
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = load_config({
+        # invariant: prod(upsample_rates) == hop_length (each asr frame is
+        # 2 mel frames -> 2*hop samples), so the tiny 60x decoder pairs
+        # with hop 60
+        "preprocess_params": {"spect_params": {"n_fft": 512,
+                                               "win_length": 240,
+                                               "hop_length": 60}},
+        "model_params": {
+            "hidden_dim": 64, "max_conv_dim": 64, "dim_in": 16,
+            "style_dim": 32, "max_dur": 10,
+            "decoder": {"type": "hifigan",
+                        # the decode shell's 512-ch output is a reference
+                        # architecture constant (hifigan.py:434)
+                        "upsample_initial_channel": 512,
+                        "upsample_rates": [10, 6],
+                        "upsample_kernel_sizes": [20, 12],
+                        "resblock_kernel_sizes": [3],
+                        "resblock_dilation_sizes": [[1, 3]]},
+        },
+        "tpu": {"token_buckets": [24, 48],
+                "frame_buckets": [60, 120, 240],
+                "decoder_dtype": "float32"},
+        "debug": False,
+    })
+    return StyleTTS2(cfg, seed=0)
+
+
+@pytest.fixture(scope="module")
+def style(engine):
+    rng = np.random.default_rng(0)
+    wav_ref = (rng.standard_normal(24000 * 2) * 0.1).astype(np.float32)
+    ref_s = engine.compute_style(wav_ref, denoise=0.3)  # exercises the gate
+    return {"style": ref_s, "speed": 1.0}
+
+
+def test_generate_e2e(engine, style):
+    # pinned durations: with hop 60 the random-weight duration head can
+    # emit chunks shorter than the 2x4000-sample trim (full-size duration
+    # coverage lives in test_infer.py)
+    engine.fixed_duration = 10
+    try:
+        out = engine.generate("Hello there. How are you?", style,
+                              stabilize=True, n_merge=2)
+    finally:
+        engine.fixed_duration = None
+    assert out.ndim == 1 and len(out) > 8000
+    assert np.isfinite(out).all()
+    assert np.abs(out[:4000]).max() == 0 and np.abs(out[-4000:]).max() == 0
+
+
+def test_stream_matches_generate(engine, style):
+    text = "one two three. four five six."
+    full = engine.generate(text, style, stabilize=False, n_merge=1)
+    segs = list(engine.generate_stream(text, style, stabilize=False,
+                                       n_merge=1))
+    np.testing.assert_array_equal(np.concatenate(segs), full)
+
+
+def test_frame_overflow_splits(engine, style):
+    """Quick-tier cover of the no-rate-change overflow split."""
+    sentence = "one two three four"
+    n_tok = len(engine.cleaner(sentence)) + 2
+    max_fb = engine.cfg.tpu.frame_buckets[-1]
+    per_tok = int(np.ceil(1.5 * max_fb / n_tok))
+    engine.fixed_duration = per_tok
+    try:
+        wavs, _, _ = engine._synthesize_chunks([sentence], style["style"],
+                                               1.0, 0.0, 0.0)
+    finally:
+        engine.fixed_duration = None
+    assert n_tok * per_tok > max_fb
+    assert len(wavs[0]) == n_tok * per_tok * 2 * engine.hop
