@@ -636,6 +636,13 @@ class StyleTTS2:
         stream, so a text's audio does not depend on what other texts share
         the batch (with stabilize=True the noise seed still advances the
         engine RNG once per call). No reference equivalent."""
+        return self._batch_assemble(
+            self._batch_plan(phonems, style, stabilize, n_merge))
+
+    def _batch_plan(self, phonems: List[str], style: Dict[str, Any],
+                    stabilize: bool, n_merge: int):
+        """Dispatch a generate_batch workload without fetching audio.
+        Returns an opaque planned-batch for _batch_assemble."""
         smooth = 0.2 if stabilize else 0.0
         per_text = [split_into_chunks(t, n_merge=n_merge) for t in phonems]
         flat: List[str] = []
@@ -644,12 +651,20 @@ class StyleTTS2:
             flat.extend(chunks)
             chain_of.extend([ti] * len(chunks))
         if not flat:
-            return [np.zeros(8000, np.float32) for _ in phonems]
-        wavs, _, origin = self._synthesize_chunks(
+            return (None, chain_of, [], len(phonems))
+        wav_parts_of, _, origin = self._synthesize_plan(
             flat, style["style"], style.get("speed", 1.0), 0.0, smooth,
-            chain_of=chain_of)
+            chain_of)
+        return (wav_parts_of, chain_of, origin, len(phonems))
+
+    def _batch_assemble(self, planned) -> List[np.ndarray]:
+        """Fetch + assemble a _batch_plan result into per-text waveforms."""
+        wav_parts_of, chain_of, origin, n_texts = planned
+        if wav_parts_of is None:
+            return [np.zeros(8000, np.float32) for _ in range(n_texts)]
+        wavs = self._fetch_all(wav_parts_of)
         outs: List[np.ndarray] = []
-        for ti in range(len(phonems)):
+        for ti in range(n_texts):
             ws = [wavs[i] for i in range(len(wavs))
                   if chain_of[origin[i]] == ti]
             if not ws:
@@ -659,6 +674,28 @@ class StyleTTS2:
             outs.append(np.concatenate([np.zeros(4000, np.float32), mid,
                                         np.zeros(4000, np.float32)]))
         return outs
+
+    def serve(self, batches, style: Dict[str, Any], stabilize: bool = True,
+              n_merge: int = 16):
+        """Sustained pipelined serving: iterate over LISTS of texts, yield
+        the corresponding lists of waveforms (generate_batch semantics per
+        batch).
+
+        Double-buffered: batch i+1's synthesis is dispatched on-device
+        BEFORE batch i's audio is fetched, so the device->host copy of one
+        batch overlaps the vocoder compute of the next and the chip never
+        idles on the host. Use for throughput (request queues); use
+        generate_batch for one-shot latency. No reference equivalent (the
+        reference synthesizes chunk-by-chunk in-line, inference.py:303-319).
+        """
+        pending = None
+        for texts in batches:
+            planned = self._batch_plan(texts, style, stabilize, n_merge)
+            if pending is not None:
+                yield self._batch_assemble(pending)
+            pending = planned
+        if pending is not None:
+            yield self._batch_assemble(pending)
 
     # ------------------------------------------------------------------
 

@@ -40,19 +40,24 @@ def setup_logging(log_dir: str) -> None:
 
 
 class MetricsWriter:
-    """Minimal TensorBoard-style scalar log: JSONL (readable anywhere).
-    (The reference uses SummaryWriter, train.py:48; tensorboard is not a
-    dependency here.)"""
+    """Scalar log, written twice: JSONL (grep/pandas-readable anywhere) and
+    a real TensorBoard `events.out.tfevents.*` file via the from-scratch
+    writer in tb_events.py — same ecosystem surface as the reference's
+    SummaryWriter (train.py:48) without a tensorboard dependency."""
 
     def __init__(self, log_dir: str):
+        from styletts2_tpu.tb_events import TBEventWriter
+
         os.makedirs(log_dir, exist_ok=True)
         self._f = open(os.path.join(log_dir, "scalars.jsonl"), "a")
+        self._tb = TBEventWriter(log_dir)
 
     def add_scalar(self, tag: str, value: float, step: int) -> None:
         self._f.write(json.dumps({"tag": tag, "value": float(value),
                                   "step": int(step), "time": time.time()})
                       + "\n")
         self._f.flush()
+        self._tb.add_scalar(tag, value, step)
 
 
 def main(argv=None) -> None:

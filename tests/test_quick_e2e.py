@@ -88,3 +88,36 @@ def test_frame_overflow_splits(engine, style):
         engine.fixed_duration = None
     assert n_tok * per_tok > max_fb
     assert len(wavs[0]) == n_tok * per_tok * 2 * engine.hop
+
+
+def test_serve_matches_generate_batch(engine, style):
+    """Double-buffered serve() must be bit-identical to generate_batch on
+    every batch (pipelining changes scheduling, never results)."""
+    engine.fixed_duration = 6
+    try:
+        batches = [["one two three. four five.", "six seven."],
+                   ["eight nine ten."]]
+        want = [engine.generate_batch(b, style, stabilize=False, n_merge=1)
+                for b in batches]
+        got = list(engine.serve(batches, style, stabilize=False, n_merge=1))
+    finally:
+        engine.fixed_duration = None
+    assert len(got) == len(want)
+    for g_batch, w_batch in zip(got, want):
+        assert len(g_batch) == len(w_batch)
+        for g, w in zip(g_batch, w_batch):
+            np.testing.assert_array_equal(g, w)
+
+
+def test_duration_scale_calibrates_mean(engine, style):
+    """duration_scale multiplies the duration head's raw output exactly."""
+    _, means, _ = engine._synthesize_chunks(["one two three"],
+                                            style["style"], 1.0, 0.0, 0.0)
+    engine.duration_scale = 5.0 / means[-1]
+    try:
+        _, means2, _ = engine._synthesize_chunks(["one two three"],
+                                                 style["style"], 1.0, 0.0,
+                                                 0.0)
+    finally:
+        engine.duration_scale = None
+    assert means2[-1] == pytest.approx(5.0, rel=1e-5)
