@@ -418,6 +418,109 @@ class _Exporter:
         x = self.conv(x, g["conv_post"], "decoder.generator.conv_post", pad=3)
         return b.add("Tanh", [x])
 
+    def istftnet(self, x: str, f0_mel: str, mel_len_vec: str) -> str:
+        """iSTFTNet generator (nn/istftnet.py:64-132): 2-stage upsampling,
+        STFT-domain harmonic source, matmul-DFT iSTFT head — the DFT/iDFT
+        bases become Conv/ConvTranspose weights with stride=hop."""
+        from styletts2_tpu.ops.stft import _dft_bases, _idft_bases
+
+        b = self.b
+        g = self.p["decoder"]["generator"]
+        cfg = self.cfg.model_params.decoder
+        rates = list(cfg.upsample_rates)
+        kernels = list(cfg.upsample_kernel_sizes)
+        n_up = len(rates)
+        nk = len(cfg.resblock_kernel_sizes)
+        n_fft, hop = cfg.gen_istft_n_fft, cfg.gen_istft_hop_size
+        bins = n_fft // 2 + 1
+        total_up = int(np.prod(rates)) * hop
+
+        # harmonic source at sample rate -> STFT (replicate center pad;
+        # the strided DFT-basis conv IS the framing+matmul)
+        har_wav = self.source(f0_mel, total_up, mel_len_vec)  # [1, 1, La]
+        har_pad = b.add("Pad", [har_wav,
+                                b.i64([0, 0, n_fft // 2, 0, 0, n_fft // 2],
+                                      "stft_pads")], mode="edge")
+        cos_b, sin_b = _dft_bases(n_fft, n_fft, center_window=False)
+        w_cos = b.init("stft.cos", cos_b.T.reshape(bins, 1, n_fft).copy())
+        w_sin = b.init("stft.sin", sin_b.T.reshape(bins, 1, n_fft).copy())
+        re = b.add("Conv", [har_pad, w_cos], strides=[hop])
+        im = b.add("Conv", [har_pad, w_sin], strides=[hop])
+        mag = b.add("Sqrt", [b.add_const(
+            b.binop("Add", b.binop("Mul", re, re), b.binop("Mul", im, im)),
+            1e-14)])
+        # atan2(im, re) with the repo's branch-cut snapping
+        # (ops/stft.py:248-257): near-axis -> exact 0/pi, silent -> 0
+        base = b.add("Atan", [b.binop("Div", im, re)])
+        neg_re = b.binop("Less", re, b.f32(np.float32(0.0), "zero"))
+        corr = b.binop("Mul", b.cast(neg_re, P.FLOAT),
+                       b.mul_const(b.add("Sign", [im]), math.pi))
+        phase = b.binop("Add", base, corr)
+        near = b.binop("LessOrEqual", b.add("Abs", [im]),
+                       b.mul_const(mag, 1e-3))
+        pi_c = b.f32(np.float32(math.pi), "pi")
+        zero_c = b.f32(np.float32(0.0), "zero")
+        phase = b.add("Where", [b.add("And", [near, neg_re]), pi_c, phase])
+        pos_re = b.binop("GreaterOrEqual", re, zero_c)
+        phase = b.add("Where", [b.add("And", [near, pos_re]), zero_c, phase])
+        phase = b.add("Where", [b.binop("Less", mag,
+                                        b.f32(np.float32(1e-5), "tiny")),
+                                zero_c, phase])
+        har = b.concat([mag, phase], axis=1)  # [1, n_fft+2, Tf]
+
+        c = cfg.upsample_initial_channel
+        for i, (u, k) in enumerate(zip(rates, kernels)):
+            last = (i == n_up - 1)
+            c_out = c // 2
+            x = b.add("LeakyRelu", [x], alpha=0.1)
+            if not last:
+                stride_f0 = int(np.prod(rates[i + 1:]))
+                xs = self.conv(har, g["noise_convs"][str(i)],
+                               f"decoder.generator.noise_convs.{i}",
+                               stride=stride_f0, pad=(stride_f0 + 1) // 2)
+            else:
+                xs = self.conv(har, g["noise_convs"][str(i)],
+                               f"decoder.generator.noise_convs.{i}")
+            x = self.conv_t(x, g["ups"][str(i)],
+                            f"decoder.generator.ups.{i}", stride=u,
+                            pad=(k - u) // 2, outpad=0)
+            if last:
+                # ReflectionPad1d((1, 0)) (reference istftnet.py:538,559)
+                x = b.concat([b.slice(x, [1], [2], [2]), x], axis=2)
+            xs = self.adain_res_block1(
+                xs, g["noise_res"][str(i)],
+                f"decoder.generator.noise_res.{i}", c_out,
+                7 if not last else 11, (1, 3, 5))
+            x = b.add("Add", [x, xs])
+            acc = None
+            for j in range(nk):
+                r = self.adain_res_block1(
+                    x, g["resblocks"][str(i * nk + j)],
+                    f"decoder.generator.resblocks.{i * nk + j}",
+                    c_out, cfg.resblock_kernel_sizes[j],
+                    tuple(cfg.resblock_dilation_sizes[j]))
+                acc = r if acc is None else b.add("Add", [acc, r])
+            x = b.mul_const(acc, 1.0 / nk)
+            c = c_out
+        x = b.add("LeakyRelu", [x], alpha=0.01)
+        x = self.conv(x, g["conv_post"], "decoder.generator.conv_post",
+                      pad=3)  # [1, n_fft+2, Tf']
+        spec = b.add("Exp", [b.slice(x, [0], [bins], [1])])
+        ph = b.add("Sin", [b.slice(x, [bins], [2 * bins], [1])])
+        real = b.binop("Mul", spec, b.add("Cos", [ph]))
+        imag = b.binop("Mul", spec, b.add("Sin", [ph]))
+        icos, isin = _idft_bases(n_fft, n_fft, scale=True,
+                                 center_window=False)
+        wi_cos = b.init("istft.cos", np.ascontiguousarray(
+            icos.reshape(bins, 1, n_fft)))
+        wi_sin = b.init("istft.sin", np.ascontiguousarray(
+            isin.reshape(bins, 1, n_fft)))
+        # overlap-add == stride-hop ConvTranspose with the iDFT bases
+        wav_r = b.add("ConvTranspose", [real, wi_cos], strides=[hop])
+        wav_i = b.add("ConvTranspose", [imag, wi_sin], strides=[hop])
+        wav = b.binop("Sub", wav_r, wav_i)
+        return b.slice(wav, [n_fft // 2], [-(n_fft // 2)], [2])
+
     def decoder(self, asr: str, f0_2l: str, n_2l: str,
                 mel_len_vec: str) -> str:
         """Decoder shell (nn/decoder.py:328-388) -> wav [1, 1, Lw]."""
@@ -441,6 +544,8 @@ class _Exporter:
                                      upsample=up)
             if up:
                 res = False
+        if self.cfg.model_params.decoder.type == "istftnet":
+            return self.istftnet(x, f0_2l, mel_len_vec)
         return self.hifigan(x, f0_2l, mel_len_vec)
 
     # -- whole model -------------------------------------------------------
@@ -448,11 +553,11 @@ class _Exporter:
     def export(self) -> bytes:
         b = self.b
         cfg = self.cfg
-        if cfg.model_params.decoder.type != "hifigan":
+        if cfg.model_params.decoder.type not in ("hifigan", "istftnet"):
             raise NotImplementedError(
-                "ONNX export currently covers the hifigan decoder (the "
-                "reference exports hifigan/istftnet; vocos is not exported "
-                "there either)")
+                "ONNX export covers hifigan and istftnet — the same two "
+                "decoders the reference exports (inference_onnx.py:130; "
+                "vocos is not exported there either)")
         b.add_input("tokens", P.INT64, ["num_token"])
         b.add_input("style", P.FLOAT, [1, self.style_dim])
         b.add_input("speed", P.FLOAT, [])

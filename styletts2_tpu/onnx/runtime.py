@@ -134,6 +134,32 @@ def _sin(ins, a):
     return np.sin(ins[0])
 
 
+@op("Cos")
+def _cos(ins, a):
+    return np.cos(ins[0])
+
+
+@op("Exp")
+def _exp(ins, a):
+    return np.exp(ins[0])
+
+
+@op("Atan")
+def _atan(ins, a):
+    return np.arctan(ins[0])
+
+
+@op("Pad")
+def _pad(ins, a):
+    x, pads = ins[0], ins[1]
+    mode = a.get("mode", "constant")
+    n = x.ndim
+    widths = [(int(pads[i]), int(pads[i + n])) for i in range(n)]
+    np_mode = {"constant": "constant", "edge": "edge",
+               "reflect": "reflect"}[mode]
+    return np.pad(x, widths, mode=np_mode)
+
+
 @op("Tanh")
 def _tanh(ins, a):
     return np.tanh(ins[0])
@@ -188,6 +214,11 @@ def _ge(ins, a):
 @op("Less")
 def _less(ins, a):
     return ins[0] < ins[1]
+
+
+@op("LessOrEqual")
+def _le(ins, a):
+    return ins[0] <= ins[1]
 
 
 @op("And")

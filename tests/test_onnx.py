@@ -269,6 +269,30 @@ def test_onnx_matches_jax_forward(small_model):
     np.testing.assert_allclose(got / scale, want / scale, atol=5e-3)
 
 
+def test_onnx_matches_jax_forward_istftnet():
+    """Same e2e parity for the istftnet decoder (STFT-domain source +
+    matmul-DFT iSTFT head as strided Conv/ConvTranspose)."""
+    cfg_dict = {k: dict(v) if isinstance(v, dict) else v
+                for k, v in SMALL_CFG["model_params"].items()}
+    cfg_dict["decoder"] = {"type": "istftnet"}  # reference istftnet defaults
+    cfg = load_config({"model_params": cfg_dict})
+    params = build_model(jax.random.PRNGKey(4), cfg.model_params)
+    params = {k: jax.tree.map(np.asarray, params[k])
+              for k in ("text_encoder", "predictor", "decoder")}
+
+    rng = np.random.default_rng(9)
+    tokens = rng.integers(1, 40, 16).astype(np.int64)
+    style = rng.standard_normal((1, 32)).astype(np.float32)
+
+    want, _ = _jax_forward(params, cfg, tokens, style, 1.0)
+    data = export_onnx(params, cfg)
+    got = OnnxModel(data).run({"tokens": tokens, "style": style,
+                               "speed": np.float32(1.0)})[0]
+    assert got.shape == want.shape, (got.shape, want.shape)
+    scale = np.abs(want).max() + 1e-6
+    np.testing.assert_allclose(got / scale, want / scale, atol=5e-3)
+
+
 def test_onnx_speed_scales_duration(small_model):
     params, cfg = small_model
     rng = np.random.default_rng(8)
