@@ -285,8 +285,11 @@ class StyleTTS2:
     @staticmethod
     def _replace_outliers_zscore(x: np.ndarray, threshold: float = 3.0,
                                  factor: float = 0.95) -> np.ndarray:
-        """reference inference.py:134-148."""
-        mean, std = x.mean(), x.std()
+        """reference inference.py:134-148 (torch .std() is unbiased ->
+        ddof=1)."""
+        if len(x) < 2:
+            return x
+        mean, std = x.mean(), x.std(ddof=1)
         if std == 0:
             return x
         z = (x - mean) / std

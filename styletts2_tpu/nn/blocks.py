@@ -214,9 +214,40 @@ def adain_res_block1_apply(p, x: jnp.ndarray, s: jnp.ndarray,
     ~47% folded for C=32 on v5e. `fold` overrides the auto gate (tests);
     the result is numerically the same conv (same taps, same zero pads).
 
-    Alternatively each AdaIN+Snake+conv group can run as one fused Pallas
-    kernel (ops/vocoder_pallas.py, STYLETTS2_TPU_VOCODER_PALLAS=1)."""
+    On TPU with prefix-masked inference inputs (mask + n_valid given) each
+    AdaIN+Snake+conv group runs as one fused Pallas kernel
+    (ops/vocoder_pallas.py) — the DEFAULT hot path, 1.8-2.2x the XLA
+    path at every stage (see the kernel header for the measured table)."""
     c = x.shape[-1]
+    # Pallas default gate: inference prefix-mask contract (mask carries the
+    # stats semantics, n_valid the kernel's zero boundary), fused weight
+    # norm, and an even time tiling for every dilation's halo
+    if (fold is None and mask is not None and n_valid is not None
+            and jax.default_backend() == "tpu"
+            and "weight" in p["convs1"]["0"]
+            and os.environ.get("STYLETTS2_TPU_NO_VOCODER_PALLAS") != "1"
+            # debug bisection knob: kernel only for C >= MINC
+            and c >= int(os.environ.get(
+                "STYLETTS2_TPU_VOCODER_PALLAS_MINC", "0"))):
+        from styletts2_tpu.ops import vocoder_pallas as VP
+
+        tile = VP._pick_tile(x.shape[1], c, jnp.dtype(x.dtype).itemsize)
+        max_halo = max(dilation) * (kernel_size - 1) // 2
+        if tile > max_halo:
+            for i, d in enumerate(dilation):
+                si = str(i)
+                sc1, sh1 = _adain_affine(p["adain1"][si], x, s, mask)
+                xt = VP.fused_ada_snake_conv(
+                    x, sc1, sh1, jnp.asarray(p["alpha1"][si]).ravel(),
+                    p["convs1"][si]["weight"], p["convs1"][si]["bias"], d,
+                    n_valid)
+                sc2, sh2 = _adain_affine(p["adain2"][si], xt, s, mask)
+                xt = VP.fused_ada_snake_conv(
+                    xt, sc2, sh2, jnp.asarray(p["alpha2"][si]).ravel(),
+                    p["convs2"][si]["weight"], p["convs2"][si]["bias"], 1,
+                    n_valid)
+                x = xt + x
+            return x
     if fold is None:
         fold = 1
         # C=64 measures neutral (9.3 vs 10.0 ms/block on v5e) — fold only
@@ -254,37 +285,10 @@ def adain_res_block1_apply(p, x: jnp.ndarray, s: jnp.ndarray,
             z = L.conv1d_folded_apply(p["convs2"][si], z, fold, 1)
             x_f = z + x_f
         return x_f.reshape(b_sz, t_sz, c)
-    # Opt-in: the fused Pallas kernel measures only 1.02-1.17x vs the
-    # XLA-fused path for C>=64 (0.8x at C=32 — underfilled 128-lane tiles)
-    # but costs minutes of extra compile time per phase-2 graph through a
-    # remote-compile service, so the XLA path stays the default.
-    use_pallas = (os.environ.get("STYLETTS2_TPU_VOCODER_PALLAS") == "1"
-                  and n_valid is not None
-                  and mask is not None  # kernel zeroes >= n_valid; mask=None
-                  # must mean unmasked in all three paths (commit 77db1a6)
-                  and jax.default_backend() == "tpu"
-                  and "weight" in p["convs1"]["0"]  # fused weight norm only
-                  and x.shape[-1] >= 64)
     for i, d in enumerate(dilation):
         si = str(i)
         pad1 = (kernel_size * d - d) // 2
         pad2 = (kernel_size - 1) // 2
-        if use_pallas:
-            from styletts2_tpu.ops import vocoder_pallas as VP
-            sc1, sh1 = _adain_affine(p["adain1"][si], x, s, mask)
-            xt = VP.fused_ada_snake_conv(
-                x, sc1, sh1, jnp.asarray(p["alpha1"][si]).ravel(),
-                p["convs1"][si]["weight"], p["convs1"][si]["bias"], d,
-                n_valid)
-            if xt is not None:
-                sc2, sh2 = _adain_affine(p["adain2"][si], xt, s, mask)
-                xt = VP.fused_ada_snake_conv(
-                    xt, sc2, sh2, jnp.asarray(p["alpha2"][si]).ravel(),
-                    p["convs2"][si]["weight"], p["convs2"][si]["bias"], 1,
-                    n_valid)
-            if xt is not None:
-                x = xt + x
-                continue
         xt = L.adain_1d_act_apply(p["adain1"][si], x, s, mask, act="snake",
                                   alpha=_alpha_cl(p["alpha1"][si], x.dtype))
         xt = L.conv1d_apply(p["convs1"][si], xt, padding=pad1, dilation=d)

@@ -16,6 +16,36 @@ scale/shift. The conv is computed as k shifted (T_tile, C) @ (C, C) dots
 accumulating in f32 — MXU-shaped for C >= 128 and still several times
 faster than the XLA conv lowering for the C=32/64 tail stages.
 
+DEFAULT on TPU (blocks.adain_res_block1_apply routes here whenever the
+inference prefix-mask contract holds). Decision bench, v5e, B=1, bf16, one
+k=7 3-dilation AdainResBlock1 per hifigan stage of a 600-frame bucket,
+dispatch amortized over a 20-iteration on-device loop (single dispatched
+calls are dominated by the ~28 ms tunnel floor and measure nothing):
+
+    stage shape          XLA shipping path   this kernel   speedup
+    C=256 T= 12000             4.74 ms          2.47 ms     1.92x
+    C=128 T= 60000             6.81 ms          3.66 ms     1.86x
+    C= 64 T=180000            16.67 ms          7.72 ms     2.16x
+    C= 32 T=360000            25.47 ms (folded) 14.48 ms    1.76x
+
+Set STYLETTS2_TPU_NO_VOCODER_PALLAS=1 to force the XLA path (escape hatch
+for Pallas-toolchain regressions; also what the decision bench compares
+against).
+
+Numerics of the decision (measured on v5e): in f32 the kernel is exact vs
+the XLA path (rel 1e-5 through the full generator; maxabs 1e-6 per block
+at every engine shape). In bf16 the kernel is *closer* to f32 than the
+XLA-bf16 path per block (rel 0.0061 vs 0.0092; both paths quantize the
+activation and the weights to bf16 at the same points — conv1d_apply
+casts w to x.dtype). End-to-end on RANDOM (untrained) weights any
+true-bf16 path shows a large rel-l2 vs f32 (0.25-0.27 for this kernel
+AND for the XLA path with bf16-cast params): the untrained network's
+output is a quasi-periodic oscillation whose phase drifts ~1 sample per
+0.5 s under bf16 rounding (local cross-correlation at the drifted lag
+stays 0.998 — same audio, shifted). This is a property of bf16 on an
+untrained net, not of the kernel; with trained weights the output is
+phase-locked to the f32 NSF harmonic source.
+
 Halo handling: the input is read through three views (prev/cur/next tile,
 clamped at the edges); out-of-range rows are killed by the same position
 mask that implements the bucket prefix, so edge tiles need no special
@@ -33,13 +63,28 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# every candidate is a multiple of 8: Mosaic requires the sublane block
+# dim be divisible by 8 (or equal to the full array dim — the tile == t
+# case below)
 _TILE_CANDIDATES = (2048, 2000, 1600, 1280, 1200, 1024, 1000, 800, 640,
-                    512, 500, 400, 256, 250, 200, 128, 100)
+                    512, 400, 256, 200, 128)
+
+# scoped VMEM is 16 MB; the kernel's working set per (tile, C_lanes)
+# element is ~8*itemsize (4 I/O blocks, double-buffered) + ~36 B of f32
+# temps (z concat, zf, valid mask, acc, dot staging). C is padded to the
+# 128-lane register width, so small-C stages pay the full 128 lanes
+# (measured: C=32 f32 k=11 tile=2000 wants 17.34 MB -> 67.7 B per padded
+# elt; C=256 f32 tile=1200 wants 17.02 MB -> 55.4). Cap the tile to stay
+# under ~13 MB with the conservative 8*itemsize + 36 model.
+_VMEM_BUDGET = 13e6
 
 
-def _pick_tile(t: int) -> int:
+def _pick_tile(t: int, c: int = 0, itemsize: int = 2) -> int:
+    cap = (_VMEM_BUDGET / (max(c, 128) * (36 + 8 * itemsize))) if c else t
+    if t <= cap:
+        return t  # single tile == full array dim (no sublane constraint)
     for cand in _TILE_CANDIDATES:
-        if t % cand == 0:
+        if cand <= cap and t % cand == 0:
             return cand
     return 0  # no even tiling -> caller falls back to the XLA path
 
@@ -61,18 +106,26 @@ def _kernel(nv_ref, prev_ref, cur_ref, next_ref, scale_ref, shift_ref,
 
     # affine + snake in f32: Mosaic cannot legalize math.sin on bf16
     # vectors (v5e), and f32 transcendentals are in-register anyway
-    zf = z.astype(jnp.float32) * scale_ref[0] + shift_ref[0]
+    zf = z.astype(jnp.float32) * scale_ref[0, 0] + shift_ref[0, 0]
     if use_snake:
-        a = alpha_ref[0].astype(jnp.float32)
+        a = alpha_ref[0, 0].astype(jnp.float32)
         sn = jnp.sin(a * zf)
         zf = zf + (1.0 / a) * (sn * sn)
     zf = jnp.where(valid, zf, 0.0).astype(z.dtype)
 
+    # f32 inputs must multiply at HIGHEST (3-pass bf16) precision to match
+    # the XLA path's convs — the MXU's default single-pass rounds f32
+    # operands to bf16 (measured 0.016 maxabs per call, compounding to
+    # audible e2e divergence). bf16 inputs are exact in one pass.
+    prec = (jax.lax.Precision.HIGHEST if z.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     acc = jnp.zeros((tile, z.shape[1]), jnp.float32)
     for i in range(k):
         acc = acc + jnp.dot(zf[i * dilation: i * dilation + tile, :],
-                            w_ref[i], preferred_element_type=jnp.float32)
-    out_ref[0] = (acc + bias_ref[0].astype(jnp.float32)).astype(out_ref.dtype)
+                            w_ref[i], precision=prec,
+                            preferred_element_type=jnp.float32)
+    out_ref[0] = (acc + bias_ref[0, 0].astype(jnp.float32)
+                  ).astype(out_ref.dtype)
 
 
 def fused_ada_snake_conv(x: jnp.ndarray, scale: jnp.ndarray,
@@ -90,17 +143,21 @@ def fused_ada_snake_conv(x: jnp.ndarray, scale: jnp.ndarray,
     b_sz, t_sz, c = x.shape
     k = w.shape[2]
     halo = dilation * (k - 1) // 2
-    tile = _pick_tile(t_sz)
+    tile = _pick_tile(t_sz, c, jnp.dtype(x.dtype).itemsize)
     if tile == 0 or tile <= halo:
         return None
 
     n_t = t_sz // tile
     w_kio = jnp.transpose(w, (2, 1, 0)).astype(x.dtype)  # (k, C_in, C_out)
     if alpha is None:
-        alpha2 = jnp.ones((1, c), jnp.float32)
+        alpha2 = jnp.ones((1, 1, c), jnp.float32)
     else:
-        alpha2 = alpha.reshape(1, c).astype(jnp.float32)
+        alpha2 = alpha.reshape(1, 1, c).astype(jnp.float32)
 
+    # per-(batch, channel) vectors ride as (B, 1, C) blocks: Mosaic requires
+    # the last two block dims be (multiple of 8, multiple of 128) OR equal
+    # to the array dims — (1, C) blocks over a (B, C) array violate that
+    # whenever B > 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b_sz, n_t),
@@ -113,15 +170,15 @@ def fused_ada_snake_conv(x: jnp.ndarray, scale: jnp.ndarray,
             pl.BlockSpec((1, tile, c),
                          lambda b, t, nv: (b, jnp.minimum(t + 1, n_t - 1), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda b, t, nv: (b, 0),
+            pl.BlockSpec((1, 1, c), lambda b, t, nv: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda b, t, nv: (b, 0),
+            pl.BlockSpec((1, 1, c), lambda b, t, nv: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda b, t, nv: (0, 0),
+            pl.BlockSpec((1, 1, c), lambda b, t, nv: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, c, c), lambda b, t, nv: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda b, t, nv: (0, 0),
+            pl.BlockSpec((1, 1, c), lambda b, t, nv: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tile, c), lambda b, t, nv: (b, t, 0),
@@ -139,5 +196,6 @@ def fused_ada_snake_conv(x: jnp.ndarray, scale: jnp.ndarray,
             transcendentals=b_sz * t_sz * c if use_snake else 0),
         interpret=interpret,
     )(n_valid.astype(jnp.int32), x, x, x,
-      scale.astype(jnp.float32), shift.astype(jnp.float32), alpha2,
-      w_kio, bias.reshape(1, c))
+      scale.reshape(b_sz, 1, c).astype(jnp.float32),
+      shift.reshape(b_sz, 1, c).astype(jnp.float32), alpha2,
+      w_kio, bias.reshape(1, 1, c))
