@@ -199,6 +199,29 @@ def _adain_affine(p_adain, x: jnp.ndarray, s: jnp.ndarray,
     return scale, beta - mean * scale
 
 
+def _adain_affine_folded(p_adain, x_f: jnp.ndarray, s: jnp.ndarray,
+                         nv_f: jnp.ndarray, f: int):
+    """_adain_affine on a time-folded (B, T/f, f*C) tensor: stats are per
+    ORIGINAL channel (phase-merged) but every pass over the big tensor
+    stays in the folded 128-lane layout. Returns (B, f*C) scale/shift
+    (tiled per phase). Exact when every valid prefix divides f."""
+    b, tp, fc = x_f.shape
+    c = fc // f
+    h = L.linear_apply(p_adain["fc"], s.astype(jnp.float32))
+    gamma, beta = jnp.split(h, 2, axis=-1)
+    xf = x_f.astype(jnp.float32)
+    m = (jnp.arange(tp)[None, :] < nv_f[:, None]).astype(
+        jnp.float32)[..., None]
+    n = jnp.maximum(nv_f.astype(jnp.float32) * f, 1.0)[:, None]
+    mean = (xf * m).sum(axis=1).reshape(b, f, c).sum(axis=1) / n
+    mean_t = jnp.tile(mean, (1, f))[:, None, :]
+    var = (jnp.square(xf - mean_t) * m).sum(axis=1).reshape(
+        b, f, c).sum(axis=1) / n
+    scale = (1.0 + gamma) * jax.lax.rsqrt(var + 1e-5)
+    shift = beta - mean * scale
+    return jnp.tile(scale, (1, f)), jnp.tile(shift, (1, f))
+
+
 def adain_res_block1_apply(p, x: jnp.ndarray, s: jnp.ndarray,
                            kernel_size: int, dilation=(1, 3, 5),
                            mask: Optional[jnp.ndarray] = None,
@@ -231,7 +254,41 @@ def adain_res_block1_apply(p, x: jnp.ndarray, s: jnp.ndarray,
                 "STYLETTS2_TPU_VOCODER_PALLAS_MINC", "0"))):
         from styletts2_tpu.ops import vocoder_pallas as VP
 
-        tile = VP._pick_tile(x.shape[1], c, jnp.dtype(x.dtype).itemsize)
+        itemsize = jnp.dtype(x.dtype).itemsize
+        # under-128-lane stages run the kernel TIME-FOLDED on (T/f, 128)
+        # tensors (prefolded weights from decoder.prefold_generator_params):
+        # full MXU lanes, and — critically — no 128-lane HBM padding on the
+        # inter-kernel buffers (unfolded (T, 32) bf16 operands pad 4x in
+        # HBM; at batch 8 x 2400-frame buckets that alone OOMs the chip)
+        f = 128 // c if (c < 128 and 128 % c == 0) else 1
+        if (f > 1 and rate_prod is not None and rate_prod % f == 0
+                and x.shape[1] % f == 0 and "wfold" in p["convs1"]["0"]):
+            kp_max = max(p[cs][str(i)]["wfold"].shape[0]
+                         for cs in ("convs1", "convs2")
+                         for i in range(len(dilation)))
+            tile_f = VP._pick_tile(x.shape[1] // f, 128, itemsize)
+            if tile_f > (kp_max - 1) // 2:
+                b_sz, t_sz = x.shape[0], x.shape[1]
+                x_f = x.reshape(b_sz, t_sz // f, f * c)
+                nv_f = n_valid // f
+                for i, _d in enumerate(dilation):
+                    si = str(i)
+                    sc1, sh1 = _adain_affine_folded(p["adain1"][si], x_f, s,
+                                                    nv_f, f)
+                    a1 = jnp.tile(jnp.asarray(p["alpha1"][si]).ravel(), f)
+                    zt = VP.fused_ada_snake_conv(
+                        x_f, sc1, sh1, a1, p["convs1"][si]["wfold"],
+                        p["convs1"][si]["bfold"], 1, nv_f, w_is_hio=True)
+                    sc2, sh2 = _adain_affine_folded(p["adain2"][si], zt, s,
+                                                    nv_f, f)
+                    a2 = jnp.tile(jnp.asarray(p["alpha2"][si]).ravel(), f)
+                    zt = VP.fused_ada_snake_conv(
+                        zt, sc2, sh2, a2, p["convs2"][si]["wfold"],
+                        p["convs2"][si]["bfold"], 1, nv_f, w_is_hio=True)
+                    x_f = zt + x_f
+                return x_f.reshape(b_sz, t_sz, c)
+
+        tile = VP._pick_tile(x.shape[1], c, itemsize)
         max_halo = max(dilation) * (kernel_size - 1) // 2
         if tile > max_halo:
             for i, d in enumerate(dilation):

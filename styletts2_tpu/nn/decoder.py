@@ -254,7 +254,12 @@ def prefold_generator_params(p_dec, cfg: DecoderConfig):
 
     for i in range(n_up):
         c_cur = c0 // (2 ** (i + 1))
-        if c_cur > 32 or 128 % c_cur != 0:  # fold gate: C<=32 only
+        # fold every under-128-lane stage: the fused Pallas kernel (and the
+        # folded XLA fallback at C<=32) run these stages on (T/f, 128)
+        # tensors — full MXU lanes AND no 128-lane HBM padding (unfolded
+        # (T, 32) bf16 buffers pad 4x in HBM, enough to OOM batch-8
+        # long-bucket phase-2 graphs)
+        if c_cur >= 128 or 128 % c_cur != 0:
             continue
         f = 128 // c_cur
         nk = 7 if i + 1 < n_up else 11

@@ -133,22 +133,27 @@ def fused_ada_snake_conv(x: jnp.ndarray, scale: jnp.ndarray,
                          bias: jnp.ndarray, dilation: int,
                          n_valid: jnp.ndarray, *,
                          use_snake: bool = True,
+                         w_is_hio: bool = False,
                          interpret: bool = False) -> jnp.ndarray:
     """x: (B, T, C); scale/shift: (B, C) f32; alpha: (C,) or None;
-    w: torch-layout (C_out, C_in, k) with C_out == C_in; bias: (C,);
+    w: torch-layout (C_out, C_in, k) with C_out == C_in — or, with
+    w_is_hio=True, an already-(k, C_in, C_out) weight (the time-folded
+    layers.fold_conv1d_weight layout; the caller then passes the FOLDED
+    x/scale/shift/alpha/n_valid and dilation=1); bias: (C,);
     n_valid: (B,) int32 valid prefix length. Returns (B, T, C) in x.dtype.
 
     Falls back to returning None if T has no even tile (caller uses XLA).
     """
     b_sz, t_sz, c = x.shape
-    k = w.shape[2]
+    k = w.shape[0] if w_is_hio else w.shape[2]
     halo = dilation * (k - 1) // 2
     tile = _pick_tile(t_sz, c, jnp.dtype(x.dtype).itemsize)
     if tile == 0 or tile <= halo:
         return None
 
     n_t = t_sz // tile
-    w_kio = jnp.transpose(w, (2, 1, 0)).astype(x.dtype)  # (k, C_in, C_out)
+    w_kio = (w.astype(x.dtype) if w_is_hio
+             else jnp.transpose(w, (2, 1, 0)).astype(x.dtype))
     if alpha is None:
         alpha2 = jnp.ones((1, 1, c), jnp.float32)
     else:

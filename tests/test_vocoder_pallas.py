@@ -136,6 +136,61 @@ def test_fold_conv1d_weight_matches_conv():
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("c,k,dilation", [(32, 11, 5), (32, 7, 3),
+                                          (64, 11, 5), (64, 3, 1)])
+def test_fused_kernel_folded_matches_xla(c, k, dilation):
+    """Time-folded kernel invocation (w_is_hio folded weights on a
+    (T/f, 128) tensor — the under-128-lane engine path) == the plain
+    dilated conv on the unfolded tensor."""
+    rng = np.random.default_rng(7)
+    b, t = 2, 1920
+    f = 128 // c
+    x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal((b, c)) * 0.5 + 1.0, jnp.float32)
+    shift = jnp.asarray(rng.standard_normal((b, c)) * 0.1, jnp.float32)
+    alpha = jnp.asarray(np.abs(rng.standard_normal(c)) + 0.5, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((c, c, k)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(c) * 0.01, jnp.float32)
+    n_valid = jnp.asarray([t, t - 16 * f], jnp.int32)  # multiples of f
+
+    want = _xla_reference(x, scale, shift, alpha, w, bias, dilation, n_valid)
+
+    wfold = L.fold_conv1d_weight_np(np.asarray(w), f, dilation)
+    bfold = jnp.asarray(np.tile(np.asarray(bias), f))
+    x_f = x.reshape(b, t // f, f * c)
+    got_f = VP.fused_ada_snake_conv(
+        x_f, jnp.tile(scale, (1, f)), jnp.tile(shift, (1, f)),
+        jnp.tile(alpha, f), jnp.asarray(wfold), bfold, 1, n_valid // f,
+        w_is_hio=True, interpret=True)
+    assert got_f is not None
+    got = got_f.reshape(b, t, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_adain_affine_folded_matches_unfolded():
+    """_adain_affine_folded (phase-merged stats on the folded layout) ==
+    _adain_affine on the unfolded tensor, tiled per phase."""
+    rng = np.random.default_rng(9)
+    b, t, c, sd, f = 2, 96, 32, 16, 4
+    key = jax.random.PRNGKey(11)
+    p = L.adain_1d_init(key, sd, c)
+    x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal((b, sd)), jnp.float32)
+    n_valid = jnp.asarray([t, t - 2 * f], jnp.int32)
+    mask = jnp.arange(t)[None, :] < n_valid[:, None]
+
+    scale, shift = B._adain_affine(p, x, s, mask)
+    x_f = x.reshape(b, t // f, f * c)
+    scale_f, shift_f = B._adain_affine_folded(p, x_f, s, n_valid // f, f)
+    np.testing.assert_allclose(np.asarray(scale_f),
+                               np.asarray(jnp.tile(scale, (1, f))),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(shift_f),
+                               np.asarray(jnp.tile(shift, (1, f))),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_block_prefers_pallas_only_on_tpu():
     """On CPU the gate must route to the XLA path (no pallas lowering)."""
     rng = np.random.default_rng(2)
