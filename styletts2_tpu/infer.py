@@ -62,21 +62,32 @@ def _bucket(buckets, n: int) -> int:
     return buckets[i]
 
 
-def _partition_exact(idxs, sizes):
+def _partition_exact(idxs, sizes, pad_tail: bool = False):
     """Split a work list into groups whose lengths are exactly compiled
     batch sizes (descending greedy over `sizes`, e.g. 6 -> [4, 2]).
 
     Padding a group of 6 chunks up to a compiled batch of 8 wastes 33% of
     vocoder compute; one extra dispatch (~35 ms) is far cheaper than one
-    wasted multi-second batch row."""
+    wasted multi-second batch row.
+
+    pad_tail: when the compiled sizes don't include 1 (mesh mode: every
+    batch is a multiple of the device count), a remainder smaller than the
+    smallest size is emitted as a final short group for the caller to pad —
+    all other groups are still exact."""
     out = []
     pos = 0
     remaining = len(idxs)
-    while remaining > 0:
+    smallest = min(sizes)
+    while remaining >= smallest:
         take = next(s for s in sorted(sizes, reverse=True) if s <= remaining)
         out.append(idxs[pos: pos + take])
         pos += take
         remaining -= take
+    if remaining > 0:
+        if not pad_tail:
+            raise ValueError(
+                f"cannot partition {len(idxs)} into sizes {sizes}")
+        out.append(idxs[pos:])
     return out
 
 
@@ -513,10 +524,15 @@ class StyleTTS2:
                 groups = _partition_exact(idxs, self.batch_buckets)
             else:
                 # mesh mode: batch dims must be compiled multiples of the
-                # device count, so pad the group (duplicated rows) instead
-                # of exact partitioning
-                groups = [idxs[p: p + self.max_batch]
-                          for p in range(0, len(idxs), self.max_batch)]
+                # device count — cut exact bucket-size groups and pad only
+                # the final remainder (duplicated rows) up to the smallest
+                # bucket that fits. Naive max_batch chunking padded EVERY
+                # trailing group to the next bucket: 17 pieces with buckets
+                # (8, 16, 32) became one batch of 32 (15 dead vocoder
+                # rows); exact-then-pad runs 16 + pad(1->8) (7 dead rows,
+                # the minimum the compiled sizes allow).
+                groups = _partition_exact(idxs, self.batch_buckets,
+                                          pad_tail=True)
             for group in groups:
                 bb = (len(group) if self.mesh is None
                       else _bucket(self.batch_buckets, len(group)))

@@ -6,7 +6,7 @@ import pytest
 import jax.numpy as jnp
 
 from styletts2_tpu.config import load_config
-from styletts2_tpu.infer import StyleTTS2, _bucket
+from styletts2_tpu.infer import StyleTTS2, _bucket, _partition_exact
 
 
 @pytest.fixture(scope="module")
@@ -182,6 +182,29 @@ def test_frame_overflow_splits_without_rate_change(engine, capsys):
     assert len(wavs[0]) == want_frames * 2 * engine.hop
     assert np.isfinite(wavs[0]).all()
     assert "compressing durations" not in capsys.readouterr().out
+
+
+def test_partition_exact():
+    # exact mode (single-chip: sizes include 1)
+    sizes = (1, 2, 4, 8, 16)
+    assert [len(g) for g in _partition_exact(list(range(6)), sizes)] == [4, 2]
+    got = _partition_exact(list(range(23)), sizes)
+    assert [len(g) for g in got] == [16, 4, 2, 1]
+    assert [i for g in got for i in g] == list(range(23))
+
+    # mesh mode (sizes are device-count multiples): exact groups first,
+    # one short tail for the caller to pad — a 17-piece list must NOT
+    # become a single padded batch of 32
+    sizes = (8, 16, 32)
+    got = _partition_exact(list(range(17)), sizes, pad_tail=True)
+    assert [len(g) for g in got] == [16, 1]
+    got = _partition_exact(list(range(40)), sizes, pad_tail=True)
+    assert [len(g) for g in got] == [32, 8]
+    got = _partition_exact(list(range(5)), sizes, pad_tail=True)
+    assert [len(g) for g in got] == [5]
+
+    with pytest.raises(ValueError):
+        _partition_exact(list(range(17)), sizes)
 
 
 def test_split_spans_partition():
