@@ -95,7 +95,11 @@ def _div(ins, a):
     if np.issubdtype(x.dtype, np.integer) and np.issubdtype(y.dtype,
                                                             np.integer):
         return x // y
-    return x / y
+    # ONNX Div is IEEE: 0/0 -> nan, x/0 -> inf (e.g. the iSTFT
+    # window-envelope division over zero-padding, cropped downstream) —
+    # intended, so don't let numpy warn about it
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return x / y
 
 
 @op("Min")
