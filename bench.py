@@ -141,7 +141,38 @@ def decoder_gflops_per_audio_sec(dec_type: str) -> float:
     return g
 
 
+def _probe_backend(timeout_s: float = 600.0):
+    """Bounded backend init: jax.devices() retries FOREVER when the
+    tunneled TPU service is down, which would eat the whole bench budget —
+    fail fast with a JSON error line instead."""
+    import threading
+
+    box = []
+
+    def _probe():
+        try:
+            import jax
+            box.append(jax.devices())
+        except Exception as e:  # surfaced below
+            box.append(e)
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(timeout=timeout_s)
+    if not box or isinstance(box[0], Exception):
+        err = ("backend init timed out after %.0fs" % timeout_s
+               if not box else repr(box[0]))
+        print(json.dumps({"metric": "single-stream synthesis throughput "
+                                    "(1/RTF)",
+                          "value": 0.0, "unit": "x realtime",
+                          "vs_baseline": 0.0,
+                          "error": err}))
+        sys.exit(1)
+    return box[0]
+
+
 def main():
+    _probe_backend()
     import jax
 
     from styletts2_tpu.cache import enable_compilation_cache
