@@ -123,9 +123,8 @@ def test_generate_batch_matches_per_text(engine):
         np.testing.assert_allclose(got, want, atol=2e-4)
 
 
-def test_mesh_sharded_inference_matches_single_device(engine):
-    """Batch-sharded phase graphs over a 4-device 'dp' mesh produce the
-    same audio as the single-device engine (multi-chip serving path)."""
+@pytest.fixture(scope="module")
+def mesh_engine():
     import jax
     from jax.sharding import Mesh
 
@@ -139,7 +138,13 @@ def test_mesh_sharded_inference_matches_single_device(engine):
                 "decoder_dtype": "float32"},
         "debug": False,
     })
-    meshed = StyleTTS2(cfg, seed=0, mesh=mesh)
+    return StyleTTS2(cfg, seed=0, mesh=mesh)
+
+
+def test_mesh_sharded_inference_matches_single_device(engine, mesh_engine):
+    """Batch-sharded phase graphs over a 4-device 'dp' mesh produce the
+    same audio as the single-device engine (multi-chip serving path)."""
+    meshed = mesh_engine
     assert meshed.batch_buckets == (4, 8, 16)
 
     rng = np.random.default_rng(11)
@@ -155,6 +160,31 @@ def test_mesh_sharded_inference_matches_single_device(engine):
     b = meshed.generate(text, style_b, stabilize=False, n_merge=1)
     assert a.shape == b.shape
     np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_mesh_padded_tail_group_matches_single_device(engine, mesh_engine):
+    """A piece count that is not a bucket multiple exercises the
+    exact-groups-then-padded-tail partition (5 pieces on a 4-device mesh
+    -> batch of 4 + batch of 1 padded to 4) and must still reproduce the
+    single-device audio per text."""
+    meshed = mesh_engine
+    rng = np.random.default_rng(13)
+    wav_ref = (rng.standard_normal(24000 * 3) * 0.1).astype(np.float32)
+    engine.ref_s = engine.compute_style(wav_ref, denoise=0.0)
+    meshed.ref_s = meshed.compute_style(wav_ref, denoise=0.0)
+    engine.fixed_duration = meshed.fixed_duration = 4
+    try:
+        texts = [f"speak part {i} now." for i in range(5)]
+        style_a = {"style": engine.ref_s, "speed": 1.0}
+        style_b = {"style": meshed.ref_s, "speed": 1.0}
+        outs = meshed.generate_batch(texts, style_b, stabilize=False,
+                                     n_merge=1)
+        assert len(outs) == 5
+        for text, got in zip(texts, outs):
+            want = engine.generate(text, style_a, stabilize=False, n_merge=1)
+            np.testing.assert_allclose(got, want, atol=2e-4)
+    finally:
+        engine.fixed_duration = meshed.fixed_duration = None
 
 
 def test_frame_overflow_splits_without_rate_change(engine, capsys):
