@@ -49,7 +49,7 @@ QUICK_MODULES = {
 }
 SLOW_MODULES = {
     "test_train_step", "test_parallel", "test_composed_parity",
-    "test_slm_train",
+    "test_slm_train", "test_train_cli",
 }
 
 
