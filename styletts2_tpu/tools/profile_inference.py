@@ -27,7 +27,16 @@ def med_time(fn, reps=10):
 
 def main():
     dec_type = sys.argv[1] if len(sys.argv) > 1 else "hifigan"
+    import os
+
     import jax
+
+    # honor JAX_PLATFORMS even under plugin backends that ignore the env
+    # var (the tunneled axon TPU plugin does) — `JAX_PLATFORMS=cpu` must
+    # profile CPU instead of hanging on a down tunnel
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     import jax.numpy as jnp
 
     from styletts2_tpu.cache import enable_compilation_cache
