@@ -249,6 +249,26 @@ def main():
         total_s += sum((len(w) - 8000) / 24000.0 for w in outs)
     serve_rtf = total_s / (time.perf_counter() - t0)
 
+    # chip-side serving ceiling: dispatch the same 8-stream workload but
+    # leave the audio ON DEVICE (block_until_ready instead of the host
+    # copy). Separates vocoder throughput from the device->host audio
+    # transfer, which here rides a ~15-100 MB/s tunnel — production moves
+    # it over PCIe/ICI at GB/s, so this is the deployable number and the
+    # gap vs serving_8x_sustained is the tunnel's share.
+    t0 = time.perf_counter()
+    total_d = 0.0
+    for _ in range(reps8):
+        parts_of, chain_of, origin, _n = eng._batch_plan(
+            texts8, style, stabilize=False, n_merge=MERGE_LONG)
+        seen = set()
+        for parts in parts_of:
+            for wav_dev, _row, total in parts:
+                total_d += total * 2 * eng.hop / 24000.0
+                if id(wav_dev) not in seen:
+                    seen.add(id(wav_dev))
+                    jax.block_until_ready(wav_dev)
+    ondevice_rtf = total_d / (time.perf_counter() - t0)
+
     h = per_decoder[headline_dec]
     result = {
         "metric": "single-stream synthesis throughput (1/RTF), "
@@ -267,6 +287,7 @@ def main():
             "unpinned_duration_p50_ms": round(real_p50, 2),
             "multi_stream_8x_inv_rtf": round(multi_rtf, 2),
             "serving_8x_sustained_inv_rtf": round(serve_rtf, 2),
+            "serving_8x_ondevice_inv_rtf": round(ondevice_rtf, 2),
             "device": str(jax.devices()[0]),
         },
     }
