@@ -12,6 +12,10 @@ TPU-first redesign of the execution:
   frame bucket — so arbitrary sentence lengths hit a small set of compiled
   graphs instead of recompiling (the data-dependent total-frame count from
   duration rounding lives between the two phases, on host, as a scalar);
+* short single-chunk stabilize=False calls take a FUSED single-dispatch
+  graph instead (durations postprocessed on device, frame bucket chosen
+  by host heuristic, exact 2-phase fallback on overflow) — one host sync
+  per utterance instead of two (see _fused_impl);
 * the hard alignment is the vectorized cumsum/position-mask build
   (ops/align.py) instead of the reference's python loop (inference.py:258-263);
 * style computation batches the 3-second windows of a reference clip into
@@ -60,6 +64,44 @@ def _bucket(buckets, n: int) -> int:
     if i == len(buckets):
         raise ValueError(f"length {n} exceeds the largest bucket {buckets[-1]}")
     return buckets[i]
+
+
+def _device_postprocess_durations(duration: jnp.ndarray, mask: jnp.ndarray,
+                                  speed: jnp.ndarray, fixed_flag: jnp.ndarray,
+                                  fixed_value: jnp.ndarray,
+                                  dur_scale: jnp.ndarray
+                                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """On-device mirror of StyleTTS2._postprocess_durations for the
+    deterministic (t=0, no stabilization noise) case: fixed/scaled
+    durations, z-score outlier clamp on duration[1:-2] (reference
+    inference.py:134-148, 253), speed divide, round, min-1 clamp.
+
+    All vectorized over the padded token bucket so it lives INSIDE the
+    fused synthesis graph — the host never has to see the durations.
+    duration/mask: (B, Tb); the scalars are traced (no recompilation per
+    value). Returns (pred_dur int32 (B, Tb), total int32 (B,))."""
+    n_valid = mask.sum(axis=1)
+    duration = jnp.where(fixed_flag > 0, fixed_value, duration * dur_scale)
+    duration = jnp.where(mask, duration, 0.0)
+    # inner region duration[1:-2] of the VALID prefix: indices 1..n_valid-3
+    idx = jnp.arange(duration.shape[1])[None, :]
+    inner = mask & (idx >= 1) & (idx <= (n_valid - 3)[:, None])
+    n_in = inner.sum(axis=1)
+    mean = (jnp.where(inner, duration, 0.0).sum(axis=1)
+            / jnp.maximum(n_in, 1))
+    var = (jnp.where(inner, (duration - mean[:, None]) ** 2, 0.0).sum(axis=1)
+           / jnp.maximum(n_in - 1, 1))  # ddof=1 (torch/numpy .std())
+    std = jnp.sqrt(var)
+    z = (duration - mean[:, None]) / jnp.where(std > 0, std, 1.0)[:, None]
+    clamp = (inner & (jnp.abs(z) > 3.0)
+             & ((std > 0) & (n_in >= 2))[:, None])
+    repl = (mean[:, None]
+            + jnp.sign(duration - mean[:, None]) * (3.0 * std * 0.95)[:, None])
+    duration = jnp.where(clamp, repl, duration)
+    duration = duration / jnp.clip(speed, 1e-4, 2.0)
+    pred = jnp.clip(jnp.round(duration), 1, None).astype(jnp.int32)
+    pred = jnp.where(mask, pred, 0)
+    return pred, pred.sum(axis=1)
 
 
 def _partition_exact(idxs, sizes, pad_tail: bool = False):
@@ -170,7 +212,11 @@ class StyleTTS2:
             self._data_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
         self._phase1 = jax.jit(self._phase1_impl)
         self._phase2 = jax.jit(self._phase2_impl, static_argnames=("n_frames",))
+        self._fused = jax.jit(self._fused_impl, static_argnames=("n_frames",))
         self._style_fn = jax.jit(self._style_impl)
+        # single-dispatch path for short single-chunk stabilize=False calls
+        # (see _fused_impl); disable to force the 2-phase path everywhere
+        self.fused_enabled: bool = True
 
     def _put_data(self, x):
         """Batch-shard an input over the mesh (no-op without a mesh)."""
@@ -224,6 +270,25 @@ class StyleTTS2:
         # interconnect, and the audio is headed for 16-bit output anyway
         pcm = jnp.clip(wav[..., 0].astype(jnp.float32), -1.0, 1.0) * 32767.0
         return pcm.astype(jnp.int16)
+
+    def _fused_impl(self, params, tokens, mask, s, speed, fixed_flag,
+                    fixed_value, dur_scale, n_frames: int):
+        """Single-dispatch synthesis: tokens -> (pcm, total_frames) in ONE
+        graph, durations postprocessed on device — the short-utterance
+        latency path. The 2-phase split exists because the total frame
+        count is data-dependent; here the frame bucket is chosen by a host
+        heuristic instead, and the caller falls back to the exact 2-phase
+        path when total overflows it. Cuts the per-utterance host syncs
+        from two (durations, audio) to one (audio+total, fetched
+        concurrently) — on a remote-tunneled chip each sync is a full
+        round trip, and even locally it halves dispatch overhead.
+        (The reference's ONNX export is the same single-graph formulation,
+        inference_onnx.py:221-262.)"""
+        t_en, d, duration = self._phase1_impl(params, tokens, mask, s)
+        pred_dur, total = _device_postprocess_durations(
+            duration, mask, speed, fixed_flag, fixed_value, dur_scale)
+        pcm = self._phase2_impl(params, t_en, d, s, pred_dur, n_frames)
+        return pcm, total
 
     # ------------------------------------------------------------------
     # style computation (reference inference.py:176-222, 274-301)
@@ -610,12 +675,64 @@ class StyleTTS2:
         chunks = split_into_chunks(phonem, n_merge=n_merge)
         if not chunks:
             return np.zeros(8000, np.float32)
+        if (smooth == 0.0 and len(chunks) == 1 and self.mesh is None
+                and self.fused_enabled):
+            wav = self._generate_fused(chunks[0], style)
+            if wav is not None:
+                return np.concatenate([np.zeros(4000, np.float32),
+                                       wav[4000:-4000],
+                                       np.zeros(4000, np.float32)])
         wavs, _, _ = self._synthesize_chunks(chunks, style["style"],
                                              style.get("speed", 1.0), 0.0,
                                              smooth)
         out = np.concatenate([w[4000:-4000] for w in wavs])
         return np.concatenate([np.zeros(4000, np.float32), out,
                                np.zeros(4000, np.float32)])
+
+    def _generate_fused(self, sentence: str, style: Dict[str, Any]
+                        ) -> Optional[np.ndarray]:
+        """One-dispatch single-chunk synthesis (see _fused_impl). Returns
+        None when the utterance doesn't fit the fused path (token bucket
+        overflow, or predicted frames overflow the chosen frame bucket) —
+        the caller falls back to the exact 2-phase path."""
+        tk = tokens_for_sentence(sentence, self.cleaner)
+        fbs = self.cfg.tpu.frame_buckets
+        try:
+            tb = _bucket(self.cfg.tpu.token_buckets, len(tk))
+        except ValueError:
+            return None
+        if self.fixed_duration is not None:
+            need = int(self.fixed_duration) * len(tk)  # exact, no headroom
+        else:
+            # headroom over a typical 4-7 frames/token speaking rate; a
+            # wrong guess costs only the fallback (underfill is masked
+            # vocoder compute, overflow re-runs 2-phase)
+            need = 8 * len(tk)
+        if need > fbs[-1]:
+            return None
+        fb = _bucket(fbs, max(need, 1))
+        tokens = np.zeros((1, tb), np.int32)
+        tokens[0, : len(tk)] = tk
+        mask = np.zeros((1, tb), bool)
+        mask[0, : len(tk)] = True
+        fixed = self.fixed_duration
+        scale = self.duration_scale
+        pcm, total = self._fused(
+            self.params, jnp.asarray(tokens), jnp.asarray(mask),
+            jnp.asarray(style["style"]),
+            jnp.float32(style.get("speed", 1.0)),
+            jnp.float32(0.0 if fixed is None else 1.0),
+            jnp.float32(0.0 if fixed is None else fixed),
+            jnp.float32(1.0 if scale is None else scale),
+            n_frames=fb)
+        # start both device->host copies before blocking on either
+        pcm.copy_to_host_async()
+        total.copy_to_host_async()
+        n = int(np.asarray(total)[0])
+        if n > fb:
+            return None  # frame-bucket overflow: 2-phase path splits it
+        return (np.asarray(pcm)[0, : n * 2 * self.hop].astype(np.float32)
+                / 32767.0)
 
     def generate_stream(self, phonem: str, style: Dict[str, Any],
                         stabilize: bool = True, n_merge: int = 16):
@@ -741,3 +858,14 @@ class StyleTTS2:
                     durs = self._put_data(np.ones((bb, tb), np.int32))
                     self._phase2(self.params, t_en, d, sb, durs,
                                  n_frames=fbk)
+                if bb == 1 and self.mesh is None and self.fused_enabled:
+                    # the fused single-dispatch graph for this token bucket,
+                    # at the frame bucket _generate_fused's 8-frames/token
+                    # heuristic would pick for a full bucket
+                    need = 8 * tb
+                    fbs = self.cfg.tpu.frame_buckets
+                    if need <= fbs[-1]:
+                        self._fused(self.params, tokens, mask, sb,
+                                    jnp.float32(1.0), jnp.float32(0.0),
+                                    jnp.float32(0.0), jnp.float32(1.0),
+                                    n_frames=_bucket(fbs, need))

@@ -121,3 +121,46 @@ def test_duration_scale_calibrates_mean(engine, style):
     finally:
         engine.duration_scale = None
     assert means2[-1] == pytest.approx(5.0, rel=1e-5)
+
+
+def test_fused_single_dispatch_matches_two_phase(engine, style):
+    """The fused tokens->audio graph (one dispatch, durations
+    postprocessed on device) must be bit-identical to the 2-phase path it
+    shortcuts — pinned, unpinned (on-device z-score clamp + rounding vs
+    the host numpy glue), and speed-adjusted."""
+    text = "hello there how are you today"
+    for fixed, scale, speed in [(5, None, 1.0), (None, None, 1.0),
+                                (None, None, 1.3)]:
+        engine.fixed_duration = fixed
+        engine.duration_scale = scale
+        st = dict(style, speed=speed)
+        try:
+            engine.fused_enabled = True
+            a = engine.generate(text, st, stabilize=False, n_merge=8)
+            engine.fused_enabled = False
+            b = engine.generate(text, st, stabilize=False, n_merge=8)
+        finally:
+            engine.fused_enabled = True
+            engine.fixed_duration = None
+            engine.duration_scale = None
+        np.testing.assert_array_equal(a, b)
+
+
+def test_fused_overflow_falls_back(engine, style):
+    """When the duration head's total overflows the heuristically chosen
+    frame bucket, the fused path must defer to the exact 2-phase path
+    (which splits at token boundaries) — never truncate or change rate."""
+    text = "hello there you"
+    n_tok = len(engine.cleaner(text)) + 2
+    fbs = engine.cfg.tpu.frame_buckets
+    assert 8 * n_tok <= fbs[-1], "text too long for a fused attempt"
+    engine.duration_scale = 3.0  # ~15 frames/token >> the 8/token headroom
+    try:
+        engine.fused_enabled = True
+        a = engine.generate(text, style, stabilize=False, n_merge=8)
+        engine.fused_enabled = False
+        b = engine.generate(text, style, stabilize=False, n_merge=8)
+    finally:
+        engine.fused_enabled = True
+        engine.duration_scale = None
+    np.testing.assert_array_equal(a, b)
