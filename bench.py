@@ -141,6 +141,55 @@ def decoder_gflops_per_audio_sec(dec_type: str) -> float:
     return g
 
 
+def decoder_gbytes_per_audio_sec(dec_type: str) -> float:
+    """Analytic HBM activation traffic of the synthesis path per second of
+    24 kHz audio (bf16; each conv reads its input and writes its output
+    once — XLA/Pallas fuse the elementwise chains into the convs; weights
+    are negligible next to waveform-rate activations). Together with
+    decoder_gflops_per_audio_sec this locates the hot path against BOTH
+    v5e rooflines (394 bf16 TFLOPS, ~819 GB/s HBM): at 32-256 channels the
+    vocoder is far from the MXU roofline by construction, so %-of-HBM is
+    the honest utilization number."""
+    F, M, SR = 40.0, 80.0, 24000.0
+    B = 2.0  # bf16 bytes
+    t = 0.0
+
+    def conv(t_in, c_in, t_out, c_out):
+        return B * (t_in * c_in + t_out * c_out) / 1e9
+
+    # decoder shell at F (+ last decode block at M)
+    t += conv(F, 514, F, 1024) + 3 * conv(F, 1090, F, 1024)
+    t += conv(F, 1090, M, 512) + conv(F, 512, F, 64)
+    if dec_type == "hifigan":
+        rates = [10, 5, 3, 2]
+        c, rate = 512, M
+        for i, u in enumerate(rates):
+            c_out, out_rate = c // 2, rate * u
+            t += conv(rate, c, out_rate, c_out)            # transposed conv
+            n_res = 3 + 1                                  # resblocks + noise_res
+            t += n_res * 6 * conv(out_rate, c_out, out_rate, c_out)
+            c, rate = c_out, out_rate
+        t += conv(SR, c, SR, 1)                            # conv_post
+    elif dec_type == "istftnet":
+        rates = [10, 6]
+        c, rate = 512, M
+        for u in rates:
+            c_out, out_rate = c // 2, rate * u
+            t += conv(rate, c, out_rate, c_out)
+            t += 4 * 6 * conv(out_rate, c_out, out_rate, c_out)
+            c, rate = c_out, out_rate
+        t += conv(rate, c, rate, 22) + conv(rate, 22, SR, 1)  # post + iSTFT
+    else:  # vocos: constant mel-rate resolution
+        for _ in range(8):
+            t += (conv(M, 512, M, 512)                     # depthwise
+                  + conv(M, 512, M, 1536) + conv(M, 1536, M, 512))
+        t += conv(M, 512, M, 1202) + conv(M, 1202, SR, 1)  # head + irfft
+    # prosody heads (shared BiLSTM state traffic + F0/N blocks)
+    t += 2 * conv(F, 640, F, 512)
+    t += 2 * (3 * 2) * conv(M, 512, M, 512) * 0.5          # F0/N rough
+    return t
+
+
 def _probe_backend(timeout_s: float = 600.0):
     """Bounded backend init: jax.devices() retries FOREVER when the
     tunneled TPU service is down, which would eat the whole bench budget —
@@ -190,13 +239,17 @@ def main():
         engine = build_engine(dec, dtype)
         inv_rtf, p50_ms, audio_s = measure(engine)
         gflops = decoder_gflops_per_audio_sec(dec)
-        # v5e bf16 peak ~394 TFLOPS/chip
+        gbytes = decoder_gbytes_per_audio_sec(dec)
+        # v5e peaks: ~394 bf16 TFLOPS, ~819 GB/s HBM
         mfu = inv_rtf * gflops / 394e3
+        hbm = inv_rtf * gbytes / 819.0
         per_decoder[dec] = {
             "inv_rtf": round(inv_rtf, 2),
             "p50_utterance_latency_ms": round(p50_ms, 2),
             "gflops_per_audio_s": round(gflops, 2),
             "mfu_pct": round(100 * mfu, 3),
+            "gbytes_per_audio_s": round(gbytes, 3),
+            "hbm_roofline_pct": round(100 * hbm, 3),
         }
         engines[dec] = engine
 
