@@ -164,3 +164,36 @@ def test_fused_overflow_falls_back(engine, style):
         engine.fused_enabled = True
         engine.duration_scale = None
     np.testing.assert_array_equal(a, b)
+
+
+def test_device_duration_postprocess_matches_host(engine):
+    """_device_postprocess_durations is the in-graph mirror of the host
+    _postprocess_durations glue (t=0): z-score clamp on duration[1:-2]
+    (ddof=1, threshold 3, factor .95), speed clamp/divide, round, min-1 —
+    must agree with the host numpy per row, padding included."""
+    import jax.numpy as jnp
+
+    from styletts2_tpu.infer import _device_postprocess_durations
+
+    rng = np.random.default_rng(3)
+    engine.fixed_duration = None
+    engine.duration_scale = None
+    tb = 24
+    for _ in range(25):
+        n = int(rng.integers(1, tb + 1))
+        dur = (rng.random(n, dtype=np.float32) * 10).astype(np.float32)
+        if n > 5 and rng.random() < 0.5:
+            dur[int(rng.integers(1, n - 2))] += 40.0  # force an outlier
+        speed = float(rng.choice([0.7, 1.0, 1.3, 2.5]))
+        want, want_total, _ = engine._postprocess_durations(
+            dur.copy(), speed, 0.0, 0.0)
+        dd = np.zeros((1, tb), np.float32)
+        dd[0, :n] = dur
+        mm = np.zeros((1, tb), bool)
+        mm[0, :n] = True
+        got, got_total = _device_postprocess_durations(
+            jnp.asarray(dd), jnp.asarray(mm), jnp.float32(speed),
+            jnp.float32(0.0), jnp.float32(0.0), jnp.float32(1.0))
+        np.testing.assert_array_equal(np.asarray(got)[0, :n], want)
+        np.testing.assert_array_equal(np.asarray(got)[0, n:], 0)
+        assert int(np.asarray(got_total)[0]) == want_total
