@@ -747,6 +747,16 @@ class StyleTTS2:
         if not chunks:
             yield np.zeros(8000, np.float32)
             return
+        if (smooth == 0.0 and len(chunks) == 1 and self.mesh is None
+                and self.fused_enabled):
+            # single chunk: same fused single-dispatch path as generate()
+            # (keeps concatenate(stream) == generate exact)
+            wav = self._generate_fused(chunks[0], style)
+            if wav is not None:
+                yield np.concatenate([np.zeros(4000, np.float32),
+                                      wav[4000:-4000],
+                                      np.zeros(4000, np.float32)])
+                return
         wav_parts_of, _, _ = self._synthesize_plan(
             chunks, style["style"], style.get("speed", 1.0), 0.0, smooth)
         host_wav: Dict[int, np.ndarray] = {}

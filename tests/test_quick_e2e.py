@@ -72,6 +72,12 @@ def test_stream_matches_generate(engine, style):
     segs = list(engine.generate_stream(text, style, stabilize=False,
                                        n_merge=1))
     np.testing.assert_array_equal(np.concatenate(segs), full)
+    # single chunk: both sides take the fused single-dispatch path
+    one = "one two three"
+    full1 = engine.generate(one, style, stabilize=False, n_merge=1)
+    segs1 = list(engine.generate_stream(one, style, stabilize=False,
+                                        n_merge=1))
+    np.testing.assert_array_equal(np.concatenate(segs1), full1)
 
 
 def test_frame_overflow_splits(engine, style):
