@@ -17,6 +17,7 @@ Parity targets are cited per function.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -24,6 +25,13 @@ import jax.numpy as jnp
 import numpy as np
 
 _F32 = jax.lax.Precision.HIGHEST
+
+# lax.scan unroll factor for the LSTM scans (the longest sequential chains
+# in the synthesis path — loop overhead per step is pure latency).
+# Numerically equivalent at any value (fusion changes reduction order by
+# ulps); tune with STYLETTS2_TPU_SCAN_UNROLL on real hardware before
+# changing the default.
+SCAN_UNROLL = int(os.environ.get("STYLETTS2_TPU_SCAN_UNROLL", "1"))
 
 
 def _np_rng(key) -> np.random.Generator:
@@ -621,7 +629,7 @@ def _lstm_scan(xw: jnp.ndarray, w_hh: jnp.ndarray, mask: jnp.ndarray,
         return (h, c), h
 
     xs = (jnp.swapaxes(xw, 0, 1), jnp.swapaxes(mask, 0, 1).astype(bool))
-    _, hs = jax.lax.scan(step, (h0, c0), xs)
+    _, hs = jax.lax.scan(step, (h0, c0), xs, unroll=SCAN_UNROLL)
     return jnp.swapaxes(hs, 0, 1)  # (B, T, H)
 
 
@@ -694,7 +702,7 @@ def _lstm_scan_stacked(xw: jnp.ndarray, w_hh2: jnp.ndarray, mask: jnp.ndarray,
         return (h, c), h
 
     xs = (jnp.swapaxes(xw, 0, 1), jnp.swapaxes(mask, 0, 1).astype(bool))
-    _, hs = jax.lax.scan(step, (h0, c0), xs)
+    _, hs = jax.lax.scan(step, (h0, c0), xs, unroll=SCAN_UNROLL)
     return jnp.swapaxes(hs, 0, 1)  # (2B, T, H)
 
 
