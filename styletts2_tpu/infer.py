@@ -160,6 +160,10 @@ class StyleTTS2:
         # duration predictor's output) — deterministic latency for
         # benchmarking and load testing
         self.fixed_duration: Optional[int] = None
+        # observed frames/token (EMA over synthesized chunks): sizes the
+        # fused path's frame bucket to the actual speaking rate instead of
+        # a worst-case constant (see _generate_fused)
+        self._fpt_ema: Optional[float] = None
         # global multiplier on the duration head's raw output (applied
         # before stabilization/speed). A rate trim on real weights; with
         # random weights it lets benchmarks exercise the FULL duration path
@@ -556,6 +560,9 @@ class StyleTTS2:
             chain_mean[chain] = new_mean
             means.append(new_mean)
             pred_of[i] = pred_dur
+        if self.fixed_duration is None and means:
+            # feed the fused path's frame-bucket heuristic (frames/token)
+            self._observe_rate(float(np.mean(means)))
 
         # pieces: each chunk becomes >= 1 contiguous token spans whose frame
         # totals fit the largest compiled bucket (frame-bucket overflow is
@@ -703,11 +710,13 @@ class StyleTTS2:
             return None
         if self.fixed_duration is not None:
             need = int(self.fixed_duration) * len(tk)  # exact, no headroom
+        elif self._fpt_ema is not None:
+            # observed speaking rate + 35% headroom; a wrong guess costs
+            # only the fallback (underfill is masked vocoder compute,
+            # overflow re-runs 2-phase)
+            need = int(np.ceil(len(tk) * self._fpt_ema * 1.35))
         else:
-            # headroom over a typical 4-7 frames/token speaking rate; a
-            # wrong guess costs only the fallback (underfill is masked
-            # vocoder compute, overflow re-runs 2-phase)
-            need = 8 * len(tk)
+            need = 8 * len(tk)  # first call: worst-case-ish prior
         if need > fbs[-1]:
             return None
         fb = _bucket(fbs, max(need, 1))
@@ -729,10 +738,18 @@ class StyleTTS2:
         pcm.copy_to_host_async()
         total.copy_to_host_async()
         n = int(np.asarray(total)[0])
+        if self.fixed_duration is None:
+            # the graph's total is the true frame count even on overflow —
+            # learn the rate either way so the next bucket choice is right
+            self._observe_rate(n / max(len(tk), 1))
         if n > fb:
             return None  # frame-bucket overflow: 2-phase path splits it
         return (np.asarray(pcm)[0, : n * 2 * self.hop].astype(np.float32)
                 / 32767.0)
+
+    def _observe_rate(self, frames_per_token: float) -> None:
+        self._fpt_ema = (frames_per_token if self._fpt_ema is None
+                         else 0.8 * self._fpt_ema + 0.2 * frames_per_token)
 
     def generate_stream(self, phonem: str, style: Dict[str, Any],
                         stabilize: bool = True, n_merge: int = 16):

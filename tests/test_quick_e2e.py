@@ -134,22 +134,47 @@ def test_fused_single_dispatch_matches_two_phase(engine, style):
     postprocessed on device) must be bit-identical to the 2-phase path it
     shortcuts — pinned, unpinned (on-device z-score clamp + rounding vs
     the host numpy glue), and speed-adjusted."""
-    text = "hello there how are you today"
+    # short enough that every case fits the fused attempt (17 tokens:
+    # first-call prior 8 f/t -> 136 <= largest bucket 240)
+    text = "hello there you"
+    n_tok = len(engine.cleaner(text)) + 2
+    assert 8 * n_tok <= engine.cfg.tpu.frame_buckets[-1]
     for fixed, scale, speed in [(5, None, 1.0), (None, None, 1.0),
                                 (None, None, 1.3)]:
         engine.fixed_duration = fixed
         engine.duration_scale = scale
+        engine._fpt_ema = None
         st = dict(style, speed=speed)
         try:
             engine.fused_enabled = True
             a = engine.generate(text, st, stabilize=False, n_merge=8)
+            assert (engine._fpt_ema is not None) == (fixed is None), \
+                "fused path did not actually run"
             engine.fused_enabled = False
             b = engine.generate(text, st, stabilize=False, n_merge=8)
         finally:
             engine.fused_enabled = True
             engine.fixed_duration = None
             engine.duration_scale = None
-        np.testing.assert_array_equal(a, b)
+        assert len(a) == len(b)
+        if fixed is not None:
+            # pinned durations -> fused picks the IDENTICAL frame bucket
+            # -> bit-exact
+            np.testing.assert_array_equal(a, b)
+        else:
+            # the fused heuristic may pick a different (larger) frame
+            # bucket than 2-phase; XLA tiling at a different static shape
+            # moves the f32 waveform by ulps, so the int16 PCM may differ
+            # by at most one quantization step (measured: same bucket ->
+            # bit-exact, cross-bucket -> +-1/32767)
+            assert np.abs(a - b).max() <= 1.01 / 32767
+    # the learned rate now sizes a smaller bucket; same +-1-step contract
+    engine.fused_enabled = True
+    a = engine.generate(text, style, stabilize=False, n_merge=8)
+    engine.fused_enabled = False
+    b = engine.generate(text, style, stabilize=False, n_merge=8)
+    engine.fused_enabled = True
+    assert len(a) == len(b) and np.abs(a - b).max() <= 1.01 / 32767
 
 
 def test_fused_overflow_falls_back(engine, style):
