@@ -315,6 +315,9 @@ def main():
             texts8, style, stabilize=False, n_merge=MERGE_LONG)
         seen = set()
         for parts in parts_of:
+            # same audio accounting as the host-side metrics: 8000 samples
+            # of head/tail trim per CHUNK (generate trims each chunk)
+            total_d -= 8000.0 / 24000.0
             for wav_dev, _row, total in parts:
                 total_d += total * 2 * eng.hop / 24000.0
                 if id(wav_dev) not in seen:

@@ -79,7 +79,14 @@ def _device_postprocess_durations(duration: jnp.ndarray, mask: jnp.ndarray,
     All vectorized over the padded token bucket so it lives INSIDE the
     fused synthesis graph — the host never has to see the durations.
     duration/mask: (B, Tb); the scalars are traced (no recompilation per
-    value). Returns (pred_dur int32 (B, Tb), total int32 (B,))."""
+    value). Returns (pred_dur int32 (B, Tb), total int32 (B,)).
+
+    Equality with the host glue is exact on every tested input, but not
+    formally guaranteed: the masked full-row reductions here and numpy's
+    contiguous-slice mean/std can differ by ulps, which could flip a
+    duration sitting exactly on the |z|=3 or .5-rounding boundary (the
+    caller's overflow fallback keeps any such flip harmless — the audio
+    would differ by one frame's worth at most, never crash)."""
     n_valid = mask.sum(axis=1)
     duration = jnp.where(fixed_flag > 0, fixed_value, duration * dur_scale)
     duration = jnp.where(mask, duration, 0.0)
@@ -560,9 +567,13 @@ class StyleTTS2:
             chain_mean[chain] = new_mean
             means.append(new_mean)
             pred_of[i] = pred_dur
-        if self.fixed_duration is None and means:
-            # feed the fused path's frame-bucket heuristic (frames/token)
-            self._observe_rate(float(np.mean(means)))
+        if self.fixed_duration is None and pred_of:
+            # feed the fused path's frame-bucket heuristic. Use the
+            # POST-round min-1-clamped durations (same units as the fused
+            # graph's returned total): the raw mean can sit far below the
+            # synthesized rate when many durations round up to 1
+            self._observe_rate(float(np.mean(
+                [p.mean() for p in pred_of])))
 
         # pieces: each chunk becomes >= 1 contiguous token spans whose frame
         # totals fit the largest compiled bucket (frame-bucket overflow is
@@ -744,6 +755,12 @@ class StyleTTS2:
             self._observe_rate(n / max(len(tk), 1))
         if n > fb:
             return None  # frame-bucket overflow: 2-phase path splits it
+        # keep the engine RNG stream in lockstep with the 2-phase path,
+        # which draws its stabilization base seed unconditionally (even at
+        # t=0): exactly one draw per synthesis whether this path succeeds
+        # (draw here) or falls back (the 2-phase plan draws instead) —
+        # toggling fused_enabled must not change later stabilize=True audio
+        self._rng.integers(2 ** 63)
         return (np.asarray(pcm)[0, : n * 2 * self.hop].astype(np.float32)
                 / 32767.0)
 
@@ -756,9 +773,13 @@ class StyleTTS2:
         """Streaming synthesis: yields waveform segments in order as each
         chunk's audio becomes available, so playback can start after the
         FIRST chunk (~the p50 utterance latency) instead of after the whole
-        text. `np.concatenate(list(generate_stream(...)))` equals
-        `generate(...)` exactly. No reference equivalent (its loop builds
-        the full list before returning, inference.py:303-319)."""
+        text. `np.concatenate(list(generate_stream(...)))` equals a
+        `generate(...)` call made from the same engine state exactly (the
+        single-chunk fused path sizes its frame bucket from the adaptive
+        speaking-rate estimate, so calls from a different state can land
+        on a different bucket and differ by at most one int16 PCM step).
+        No reference equivalent (its loop builds the full list before
+        returning, inference.py:303-319)."""
         smooth = 0.2 if stabilize else 0.0
         chunks = split_into_chunks(phonem, n_merge=n_merge)
         if not chunks:
@@ -886,13 +907,23 @@ class StyleTTS2:
                     self._phase2(self.params, t_en, d, sb, durs,
                                  n_frames=fbk)
                 if bb == 1 and self.mesh is None and self.fused_enabled:
-                    # the fused single-dispatch graph for this token bucket,
-                    # at the frame bucket _generate_fused's 8-frames/token
-                    # heuristic would pick for a full bucket
-                    need = 8 * tb
+                    # fused single-dispatch graphs for this token bucket at
+                    # the frame buckets its heuristic picks for a typical
+                    # (4 f/t) and the first-call prior (8 f/t) speaking
+                    # rate. The runtime bucket is data-dependent (observed
+                    # rate x actual token count), so a first fused call can
+                    # still compile cold when the utterance lands between
+                    # warmed buckets
                     fbs = self.cfg.tpu.frame_buckets
-                    if need <= fbs[-1]:
-                        self._fused(self.params, tokens, mask, sb,
-                                    jnp.float32(1.0), jnp.float32(0.0),
-                                    jnp.float32(0.0), jnp.float32(1.0),
-                                    n_frames=_bucket(fbs, need))
+                    warmed = set()
+                    for rate in (4, 8):
+                        need = rate * tb
+                        if need <= fbs[-1]:
+                            fbk = _bucket(fbs, need)
+                            if fbk not in warmed:
+                                warmed.add(fbk)
+                                self._fused(self.params, tokens, mask, sb,
+                                            jnp.float32(1.0),
+                                            jnp.float32(0.0),
+                                            jnp.float32(0.0),
+                                            jnp.float32(1.0), n_frames=fbk)

@@ -31,7 +31,11 @@ _F32 = jax.lax.Precision.HIGHEST
 # Numerically equivalent at any value (fusion changes reduction order by
 # ulps); tune with STYLETTS2_TPU_SCAN_UNROLL on real hardware before
 # changing the default.
-SCAN_UNROLL = int(os.environ.get("STYLETTS2_TPU_SCAN_UNROLL", "1"))
+try:
+    SCAN_UNROLL = max(1, int(os.environ.get("STYLETTS2_TPU_SCAN_UNROLL",
+                                            "1")))
+except ValueError:  # malformed env var: fall back, never break import
+    SCAN_UNROLL = 1
 
 
 def _np_rng(key) -> np.random.Generator:

@@ -72,9 +72,14 @@ def test_stream_matches_generate(engine, style):
     segs = list(engine.generate_stream(text, style, stabilize=False,
                                        n_merge=1))
     np.testing.assert_array_equal(np.concatenate(segs), full)
-    # single chunk: both sides take the fused single-dispatch path
+    # single chunk: both sides take the fused single-dispatch path.
+    # Equality holds from the SAME engine state — pin the adaptive rate
+    # estimate so both calls pick the same frame bucket (a generate call
+    # updates it, which could shift the next call's bucket by one step)
     one = "one two three"
+    engine._fpt_ema = 5.0
     full1 = engine.generate(one, style, stabilize=False, n_merge=1)
+    engine._fpt_ema = 5.0
     segs1 = list(engine.generate_stream(one, style, stabilize=False,
                                         n_merge=1))
     np.testing.assert_array_equal(np.concatenate(segs1), full1)
@@ -228,3 +233,19 @@ def test_device_duration_postprocess_matches_host(engine):
         np.testing.assert_array_equal(np.asarray(got)[0, :n], want)
         np.testing.assert_array_equal(np.asarray(got)[0, n:], 0)
         assert int(np.asarray(got_total)[0]) == want_total
+
+
+def test_fused_preserves_engine_rng_stream(engine, style):
+    """Toggling fused_enabled must not change later stabilize=True audio:
+    the fused path draws exactly one base seed per synthesis, like the
+    2-phase plan it shortcuts (fallbacks draw via the plan instead)."""
+    short, text = "one two three", "one two three. four five six."
+    outs = []
+    for fused in (True, False):
+        engine.fused_enabled = fused
+        engine._rng = np.random.default_rng(7)
+        engine._fpt_ema = 5.0
+        engine.generate(short, style, stabilize=False, n_merge=1)
+        outs.append(engine.generate(text, style, stabilize=True, n_merge=1))
+    engine.fused_enabled = True
+    np.testing.assert_array_equal(outs[0], outs[1])
