@@ -145,12 +145,21 @@ class StyleTTS2:
 
     def __init__(self, config, models_path: Optional[str] = None, *,
                  params: Optional[Dict[str, Any]] = None, seed: int = 0,
-                 decoder_dtype: Optional[str] = None, mesh=None):
+                 decoder_dtype: Optional[str] = None, mesh=None,
+                 seq_parallel: bool = False):
         """mesh: optional 1-D jax.sharding.Mesh (axis 'dp') — phase graphs
         are then batch-sharded over its devices (multi-chip serving:
         chunk batches from generate_batch/_synthesize_chunks spread over
         ICI; XLA partitions the per-row vocoder compute). mesh=None (the
-        default) is the single-chip path with exact-size batch groups."""
+        default) is the single-chip path with exact-size batch groups.
+
+        seq_parallel (requires mesh, hifigan decoder): shard the vocoder's
+        FRAME axis over the mesh instead of the batch axis
+        (parallel/seqpar.py) — single-stream latency scaling for long
+        chunks. Batching behaves like the single-chip path (inputs
+        replicated); phase-2 decodes frame buckets >= n_dev * margin
+        sequence-parallel and falls back to the single-device graph below
+        that."""
         from styletts2_tpu.cache import enable_compilation_cache
 
         enable_compilation_cache()
@@ -179,11 +188,24 @@ class StyleTTS2:
         # chunk-batching: same-bucket chunks share one phase-1/phase-2 call;
         # batch sizes are padded to these compiled sizes
         self.mesh = mesh
-        if mesh is not None:
+        self.seq_parallel = bool(seq_parallel)
+        if self.seq_parallel:
+            if mesh is None:
+                raise ValueError("seq_parallel requires a mesh")
+            if mp.decoder.type != "hifigan":
+                raise ValueError("seq_parallel supports the hifigan "
+                                 f"decoder (got {mp.decoder.type!r})")
+            from styletts2_tpu.parallel import seqpar as SP
+            self._sp_margin = max(SP.DEFAULT_MARGIN,
+                                  SP.decoder_receptive_field(mp.decoder))
+            self._sp_ndev = int(np.prod(mesh.devices.shape))
+        if mesh is not None and not self.seq_parallel:
             n_dev = int(np.prod(mesh.devices.shape))
             # batch dims must divide evenly over the mesh
             self.batch_buckets = (n_dev, 2 * n_dev, 4 * n_dev)
         else:
+            # single-chip batching; under seq_parallel the inputs stay
+            # replicated (the decode shards TIME, not batch)
             self.batch_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16)
         self.max_batch: int = self.batch_buckets[-1]
 
@@ -220,7 +242,9 @@ class StyleTTS2:
             # phase graphs — the jitted functions are the same objects as
             # the single-chip path
             self.params = jax.device_put(self.params, NamedSharding(mesh, P()))
-            self._data_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+            if not self.seq_parallel:
+                self._data_sharding = NamedSharding(mesh,
+                                                    P(mesh.axis_names[0]))
         self._phase1 = jax.jit(self._phase1_impl)
         self._phase2 = jax.jit(self._phase2_impl, static_argnames=("n_frames",))
         self._fused = jax.jit(self._fused_impl, static_argnames=("n_frames",))
@@ -273,10 +297,22 @@ class StyleTTS2:
         asr = jnp.matmul(align_t, t_en, precision=L._prec(t_en))
 
         dt = self.dtype
-        wav = DE.decoder_apply(params["decoder"], self.cfg.model_params.decoder,
-                               asr.astype(dt), f0.astype(jnp.float32),
-                               n_en.astype(jnp.float32), s.astype(dt),
-                               rng=None, train=False, frame_mask=frame_mask)
+        if (self.seq_parallel and n_frames % self._sp_ndev == 0
+                and n_frames // self._sp_ndev >= self._sp_margin):
+            from styletts2_tpu.parallel.seqpar import sp_decoder_apply
+            wav = sp_decoder_apply(self.mesh, params["decoder"],
+                                   self.cfg.model_params.decoder,
+                                   asr.astype(dt), f0.astype(jnp.float32),
+                                   n_en.astype(jnp.float32), s.astype(dt),
+                                   margin=self._sp_margin,
+                                   n_valid=total)
+        else:
+            wav = DE.decoder_apply(params["decoder"],
+                                   self.cfg.model_params.decoder,
+                                   asr.astype(dt), f0.astype(jnp.float32),
+                                   n_en.astype(jnp.float32), s.astype(dt),
+                                   rng=None, train=False,
+                                   frame_mask=frame_mask)
         # ship int16 PCM to the host: half the bytes of f32 over the
         # interconnect, and the audio is headed for 16-bit output anyway
         pcm = jnp.clip(wav[..., 0].astype(jnp.float32), -1.0, 1.0) * 32767.0

@@ -187,14 +187,9 @@ def _adain_affine(p_adain, x: jnp.ndarray, s: jnp.ndarray,
     h = L.linear_apply(p_adain["fc"], s.astype(jnp.float32))
     gamma, beta = jnp.split(h, 2, axis=-1)
     xf = x.astype(jnp.float32)
-    if mask is None:
-        mean = xf.mean(axis=1)
-        var = ((xf - mean[:, None, :]) ** 2).mean(axis=1)
-    else:
-        m = mask.astype(jnp.float32)[..., None]
-        n = jnp.maximum(m.sum(axis=1), 1.0)
-        mean = (xf * m).sum(axis=1) / n
-        var = (jnp.square(xf - mean[:, None, :]) * m).sum(axis=1) / n
+    m = None if mask is None else mask.astype(jnp.float32)[..., None]
+    mean, var = L._masked_stats(xf, m)  # (B, 1, C); seq-par aware
+    mean, var = mean[:, 0], var[:, 0]
     scale = (1.0 + gamma) * jax.lax.rsqrt(var + 1e-5)
     return scale, beta - mean * scale
 
@@ -246,6 +241,7 @@ def adain_res_block1_apply(p, x: jnp.ndarray, s: jnp.ndarray,
     # stats semantics, n_valid the kernel's zero boundary), fused weight
     # norm, and an even time tiling for every dilation's halo
     if (fold is None and mask is not None and n_valid is not None
+            and L._SEQPAR_CTX is None  # seq-par windows aren't prefix-masked
             and jax.default_backend() == "tpu"
             and "weight" in p["convs1"]["0"]
             and os.environ.get("STYLETTS2_TPU_NO_VOCODER_PALLAS") != "1"
@@ -310,6 +306,7 @@ def adain_res_block1_apply(p, x: jnp.ndarray, s: jnp.ndarray,
         # C=64 measures neutral (9.3 vs 10.0 ms/block on v5e) — fold only
         # where the lanes are 4x underfilled
         if (n_valid is not None and jax.default_backend() == "tpu"
+                and L._SEQPAR_CTX is None
                 and c <= 32 and 128 % c == 0
                 and "weight" in p["convs1"]["0"]):
             f = 128 // c

@@ -141,38 +141,57 @@ def hifigan_generator_init(key, cfg: DecoderConfig, style_dim: int = 128):
 
 def hifigan_generator_apply(p, x: jnp.ndarray, s: jnp.ndarray,
                             f0_curve: jnp.ndarray, rng, cfg: DecoderConfig,
-                            frame_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                            frame_mask: Optional[jnp.ndarray] = None,
+                            har_source: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """x: (B, T, C) decoder features at mel rate; f0_curve: (B, T) at mel
     rate; returns wav (B, T*prod(rates), 1) channels-last.
 
     frame_mask: (B, T) valid mask at mel rate; propagated through the
-    upsampling stages so padded buckets reproduce exact-length outputs."""
+    upsampling stages so padded buckets reproduce exact-length outputs.
+    har_source: optional precomputed NSF source (B, T*prod(rates), 1) —
+    the sequence-parallel decode (parallel/seqpar.py) computes it from the
+    full-length F0 curve (the sine phase is a global cumsum) and passes the
+    local haloed window here."""
     rates = cfg.upsample_rates
     n_up = len(rates)
     n_kernels = len(cfg.resblock_kernel_sizes)
     total_up = int(np.prod(rates))
 
-    k_src = None if rng is None else jax.random.fold_in(rng, 0)
-    f0_up = OPS.interpolate_nearest(f0_curve[:, None, :], total_up)  # (B,1,L)
-    f0_up = jnp.swapaxes(f0_up, 1, 2)  # (B, L, 1)
-    har_source, _ = source_module_apply(p["m_source"], f0_up, k_src, total_up)
+    if har_source is None:
+        k_src = None if rng is None else jax.random.fold_in(rng, 0)
+        f0_up = OPS.interpolate_nearest(f0_curve[:, None, :],
+                                        total_up)  # (B,1,L)
+        f0_up = jnp.swapaxes(f0_up, 1, 2)  # (B, L, 1)
+        har_source, _ = source_module_apply(p["m_source"], f0_up, k_src,
+                                            total_up)
 
     t0 = frame_mask.shape[1] if frame_mask is not None else 0
     n_val = (frame_mask.sum(axis=1, dtype=jnp.int32)
              if frame_mask is not None else None)
+    # first valid index: 0 for the bucketed-inference prefix masks; nonzero
+    # on the edge devices of a sequence-parallel decode, whose valid region
+    # is an interior window of the haloed slice (parallel/seqpar.py)
+    lo_val = (jnp.argmax(frame_mask, axis=1).astype(jnp.int32)
+              if frame_mask is not None else None)
 
     def stage_mask(i):
         """Valid mask at stage i's rate, built as an iota comparison (fuses
         into consumers) rather than a materialized repeat of the bool mask.
-        Exact because the mel mask is a prefix mask (alignment is causal)."""
+        Exact because the valid region is a contiguous interval (a prefix
+        under bucketed inference — alignment is causal — or an interior
+        window under sequence-parallel decode)."""
         if frame_mask is None:
             return None
         f = int(np.prod(rates[:i])) if i > 0 else 1
         pos = jnp.arange(t0 * f, dtype=jnp.int32)[None, :]
-        return pos < (n_val * f)[:, None]
+        return ((pos >= (lo_val * f)[:, None])
+                & (pos < ((lo_val + n_val) * f)[:, None]))
 
     def stage_count(i):
-        """Valid prefix length at stage i's rate (for the fused kernels)."""
+        """Valid PREFIX length at stage i's rate — consumed only by the
+        fused folded/Pallas kernels, which assume lo_val == 0 (they are
+        gated off under a seq-par context, the one producer of interior
+        masks)."""
         if frame_mask is None:
             return None
         f = int(np.prod(rates[:i])) if i > 0 else 1
@@ -333,12 +352,15 @@ def smooth_f0n_train(f0_curve: jnp.ndarray, n: jnp.ndarray, rng):
 def decoder_apply(p, cfg: DecoderConfig, asr: jnp.ndarray,
                   f0_curve: jnp.ndarray, n: jnp.ndarray, s: jnp.ndarray,
                   rng=None, train: bool = False,
-                  frame_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                  frame_mask: Optional[jnp.ndarray] = None,
+                  har_source: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Decoder shell (reference hifigan.py:446-475).
 
     asr: (B, F, 512) aligned text features at the half-mel rate;
     f0_curve, n: (B, 2F) at mel rate; s: (B, style).
     frame_mask: (B, F) valid mask at the asr rate (None = all valid).
+    har_source: optional precomputed NSF source (hifigan only — see
+    hifigan_generator_apply; used by the sequence-parallel decode).
     Returns wav (B, L, 1)."""
     if rng is None:
         k_smooth = k_gen = None
@@ -381,9 +403,11 @@ def decoder_apply(p, cfg: DecoderConfig, asr: jnp.ndarray,
         if upsample:
             res = False
 
+    if cfg.type != "hifigan" and har_source is not None:
+        raise ValueError("har_source passthrough is hifigan-only")
     if cfg.type == "hifigan":
         return hifigan_generator_apply(p["generator"], x, s, f0_curve, k_gen,
-                                       cfg, mel_mask)
+                                       cfg, mel_mask, har_source=har_source)
     elif cfg.type == "istftnet":
         from styletts2_tpu.nn.istftnet import istftnet_generator_apply
         return istftnet_generator_apply(p["generator"], x, s, f0_curve, k_gen,

@@ -309,6 +309,90 @@ def plain_layer_norm(x: jnp.ndarray, eps: float = 1e-5,
     return y.astype(x.dtype)
 
 
+# --- sequence-parallel instance-norm stats ---------------------------------
+#
+# Inside a frame-sharded (sequence-parallel) decode each device holds a
+# haloed window [core ± margin] of the time axis, but the AdaIN instance
+# norms need stats over the WHOLE sequence. While a SeqParCtx is active
+# (parallel/seqpar.py installs one inside its shard_map body), every
+# time-axis mean/var in this module is computed over the device's CORE
+# region only and psum'd over the mesh axis — halo positions are other
+# devices' core data and must not be double-counted. The context carries
+# the window geometry at the base (asr-frame) rate; stage tensors are
+# integer upsamples of it, so the core interval scales with T.
+
+
+class SeqParCtx:
+    """axis: mesh axis to psum over; t_base: local window length at the
+    base rate; [lo, hi): core interval at the base rate."""
+
+    __slots__ = ("axis", "t_base", "lo", "hi")
+
+    def __init__(self, axis: str, t_base: int, lo: int, hi: int):
+        self.axis, self.t_base, self.lo, self.hi = axis, t_base, lo, hi
+
+
+_SEQPAR_CTX: Optional[SeqParCtx] = None
+
+
+class seqpar_stats:
+    """Context manager installing a SeqParCtx for the enclosed apply calls
+    (trace-time scoping: shard_map traces its body once, so a module global
+    set during tracing is safe)."""
+
+    def __init__(self, ctx: SeqParCtx):
+        self.ctx = ctx
+
+    def __enter__(self):
+        global _SEQPAR_CTX
+        self._prev = _SEQPAR_CTX
+        _SEQPAR_CTX = self.ctx
+        return self.ctx
+
+    def __exit__(self, *exc):
+        global _SEQPAR_CTX
+        _SEQPAR_CTX = self._prev
+        return False
+
+
+def _seqpar_core_mask(t_local: int) -> jnp.ndarray:
+    """(1, t_local, 1) f32 mask of this device's core region at whatever
+    rate t_local implies relative to the context's base length."""
+    ctx = _SEQPAR_CTX
+    f, rem = divmod(t_local, ctx.t_base)
+    if rem != 0:
+        raise ValueError(
+            f"seq-par stats on T={t_local} not a multiple of the base "
+            f"window {ctx.t_base}")
+    pos = jnp.arange(t_local)
+    core = (pos >= ctx.lo * f) & (pos < ctx.hi * f)
+    return core.astype(jnp.float32)[None, :, None]
+
+
+def _masked_stats(xf: jnp.ndarray, m: Optional[jnp.ndarray]):
+    """Two-pass masked mean/var over the T axis of (B, T, C) f32 input;
+    m: (B, T, 1) f32 or None. Under an active SeqParCtx the stats are
+    global: summed over core regions and psum'd across the mesh axis."""
+    ctx = _SEQPAR_CTX
+    if ctx is not None:
+        core = _seqpar_core_mask(xf.shape[1])
+        m = core if m is None else m * core
+    if m is None:
+        mean = xf.mean(axis=1, keepdims=True)
+        var = ((xf - mean) ** 2).mean(axis=1, keepdims=True)
+        return mean, var
+    s = (xf * m).sum(axis=1, keepdims=True)
+    n = m.sum(axis=1, keepdims=True)
+    if ctx is not None:
+        s, n = jax.lax.psum((s, n), ctx.axis)
+    n = jnp.maximum(n, 1.0)
+    mean = s / n
+    v = (jnp.square(xf - mean) * m).sum(axis=1, keepdims=True)
+    if ctx is not None:
+        v = jax.lax.psum(v, ctx.axis)
+    return mean, v / n
+
+
 def instance_norm_1d(x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
                      eps: float = 1e-5) -> jnp.ndarray:
     """InstanceNorm1d(affine=False) on channels-last (B, T, C).
@@ -317,14 +401,8 @@ def instance_norm_1d(x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
     stats padding-invariant (needed because we run on padded static-shape
     buckets; the reference computes exact-length tensors at inference)."""
     xf = x.astype(jnp.float32)
-    if mask is None:
-        mean = xf.mean(axis=1, keepdims=True)
-        var = ((xf - mean) ** 2).mean(axis=1, keepdims=True)
-    else:
-        m = mask.astype(jnp.float32)[..., None]  # (B, T, 1)
-        denom = jnp.maximum(m.sum(axis=1, keepdims=True), 1.0)
-        mean = (xf * m).sum(axis=1, keepdims=True) / denom
-        var = (jnp.square(xf - mean) * m).sum(axis=1, keepdims=True) / denom
+    m = None if mask is None else mask.astype(jnp.float32)[..., None]
+    mean, var = _masked_stats(xf, m)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
     return y.astype(x.dtype)
 
@@ -358,17 +436,11 @@ def adain_1d_act_apply(p, x: jnp.ndarray, s: jnp.ndarray,
     h = linear_apply(p["fc"], s)  # (B, 2C)
     gamma, beta = jnp.split(h, 2, axis=-1)
     xf = x.astype(jnp.float32)
-    if mask is None:
-        mean = xf.mean(axis=1, keepdims=True)
-        var = ((xf - mean) ** 2).mean(axis=1, keepdims=True)
-    else:
-        # two-pass masked stats (E[(x-mean)^2], not E[x^2]-mean^2: the
-        # one-pass form loses enough bits to flip tanh-rail samples in the
-        # composed parity test)
-        m = mask.astype(jnp.float32)[..., None]  # (B, T, 1)
-        n = jnp.maximum(m.sum(axis=1, keepdims=True), 1.0)
-        mean = (xf * m).sum(axis=1, keepdims=True) / n
-        var = (jnp.square(xf - mean) * m).sum(axis=1, keepdims=True) / n
+    # two-pass masked stats (E[(x-mean)^2], not E[x^2]-mean^2: the one-pass
+    # form loses enough bits to flip tanh-rail samples in the composed
+    # parity test); collective under a seq-par context
+    m = None if mask is None else mask.astype(jnp.float32)[..., None]
+    mean, var = _masked_stats(xf, m)
     y = ((xf - mean) * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype)
     z = (1.0 + gamma[:, None, :]) * y + beta[:, None, :]
     if act == "snake":

@@ -9,10 +9,10 @@ The reference's only parallelism is single-process torch DataParallel
 * params/optimizer state replicated; batches sharded on 'dp'; XLA inserts
   the gradient all-reduces over ICI
 
-The vocoder's frame axis could additionally shard over a second mesh axis
-with halo exchange for very long chunks (SURVEY section 5 notes this is the
-only place sequence parallelism is meaningful in this architecture); the
-single-model-parallel-axis hooks live here when that lands.
+The vocoder's frame axis can additionally shard over a mesh axis with halo
+exchange for very long chunks (SURVEY section 5 notes this is the only
+place sequence parallelism is meaningful in this architecture) — see
+parallel/seqpar.py (sp_decoder_apply).
 """
 
 from __future__ import annotations

@@ -1,0 +1,183 @@
+"""Sequence-parallel (frame-sharded) vocoder decode over a device mesh.
+
+SURVEY §5 notes the vocoder frame axis is the one place sequence
+parallelism is meaningful in this architecture: the reference synthesizes
+long-form audio strictly chunk-by-chunk on one device (reference
+inference.py:258-270, 303-319); here a single long chunk's decode — the
+~95%-of-FLOPs stage — can instead shard its time axis across chips.
+
+Design (TPU-first, exact):
+
+* the decoder inputs (aligned text features at the asr rate, F0/energy
+  curves at the mel rate) are sharded along time over a 1-D mesh;
+* each device ppermute-fetches a `margin`-asr-frame halo from each
+  neighbor. Everything between input and waveform is a conv / elementwise
+  op with a finite receptive field, so with margin >= the decoder's total
+  receptive field (~17 asr frames for the default config, see
+  `decoder_receptive_field`) every core sample is computable exactly from
+  the haloed window. Edge devices keep ppermute's zero fill — identical
+  to the zero padding the SAME convs see at sequence ends on one device;
+* AdaIN instance-norm stats are global over T: each device reduces over
+  its CORE region only (halo positions are neighbors' core data — they
+  must not be double counted) and the partial sums psum over the mesh
+  axis (`layers.seqpar_stats` installs the context);
+* the NSF harmonic source's sine phase is a cumsum over the WHOLE
+  waveform (reference hifigan.py:117-157): it is computed replicated from
+  the all-gathered F0 curve — tiny, 9 harmonics — so the phase is
+  bitwise identical to the single-device decode, then the local haloed
+  window is sliced out and passed through `decoder_apply(har_source=...)`.
+
+Communication per decode: two ppermutes + one all-gather of the (B, 2F)
+F0 curve up front, plus one (B, 1+C)-sized psum pair per AdaIN — all
+riding ICI; the activations (~99.9% of the bytes) never move.
+
+Scope: hifigan (the flagship decoder). F must divide by the device count;
+padded static buckets pass the per-row valid prefix as `n_valid` (the
+frame-sharded equivalent of `decoder_apply`'s prefix frame_mask —
+`infer.StyleTTS2(seq_parallel=True)` routes its phase-2 here this way).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from styletts2_tpu.config import DecoderConfig
+from styletts2_tpu.nn import decoder as DE
+from styletts2_tpu.nn import layers as L
+from styletts2_tpu.ops import stft as OPS
+
+DEFAULT_MARGIN = 32  # asr frames; ~2x the default config's receptive field
+
+
+def decoder_receptive_field(cfg: DecoderConfig) -> int:
+    """Conservative one-sided receptive field of the hifigan decoder in
+    asr frames — the minimum legal halo margin.
+
+    Shell (asr rate): encode + 4 decode AdainResBlk1d's, k3 convs -> ±2
+    each, ±10 total (reference hifigan.py:416-475). Generator (counted in
+    mel frames, divided by each stage's cumulative upsample rate): the
+    transposed-conv reach plus the widest dilated Snake/AdaIN stack per
+    stage (reference hifigan.py:26-80, 272-356); the NSF source costs no
+    margin (computed globally)."""
+    rf_mel = 1.0  # F0/N stride-2 convs + nearest-neighbor F0 upsample
+    prod = 1
+    rates = cfg.upsample_rates
+    for i, (u, k) in enumerate(zip(rates, cfg.upsample_kernel_sizes)):
+        rf_mel += math.ceil(k / u) / prod  # transposed conv input reach
+        prod *= u
+        spans = []
+        for rk, rd in zip(cfg.resblock_kernel_sizes,
+                          cfg.resblock_dilation_sizes):
+            spans.append(sum(d * (rk - 1) // 2 + (rk - 1) // 2 for d in rd))
+        nk = 7 if i + 1 < len(rates) else 11  # noise_res kernel (decoder.py)
+        spans.append(sum(d * (nk - 1) // 2 + (nk - 1) // 2 for d in (1, 3, 5)))
+        rf_mel += max(spans) / prod  # resblocks are averaged, not chained
+    rf_mel += math.ceil(7 / 2) / prod  # conv_post k7 at sample rate
+    return 10 + math.ceil(rf_mel / 2) + 1
+
+
+def _halo(x: jnp.ndarray, margin: int, axis: str, n_dev: int) -> jnp.ndarray:
+    """Concatenate each neighbor's `margin`-wide time edge onto x (axis 1).
+
+    Devices with no neighbor keep ppermute's zero fill — exactly the zero
+    padding a single-device SAME conv sees at the sequence ends."""
+    fwd = [(i, i + 1) for i in range(n_dev - 1)]
+    bwd = [(i + 1, i) for i in range(n_dev - 1)]
+    from_left = jax.lax.ppermute(x[:, -margin:], axis, fwd)
+    from_right = jax.lax.ppermute(x[:, :margin], axis, bwd)
+    return jnp.concatenate([from_left, x, from_right], axis=1)
+
+
+def sp_decoder_apply(mesh: Mesh, p_dec, cfg: DecoderConfig,
+                     asr: jnp.ndarray, f0: jnp.ndarray, n: jnp.ndarray,
+                     s: jnp.ndarray, *, margin: int = DEFAULT_MARGIN,
+                     axis: Optional[str] = None,
+                     n_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Frame-sharded `decoder_apply` over `mesh` — same waveform as the
+    single-device call (up to f32 psum-association rounding in the norm
+    stats), computed with the time axis split across devices.
+
+    asr: (B, F, 512) at the asr rate with F % n_dev == 0; f0, n: (B, 2F)
+    at the mel rate; s: (B, style). Inference-only (deterministic source,
+    no dropout). n_valid: optional (B,) per-row valid asr-frame prefix for
+    padded static buckets — equivalent to `decoder_apply`'s prefix
+    frame_mask (samples past it come back zeroed). Returns
+    wav (B, F * 2 * prod(rates), 1), sharded on time.
+    """
+    if cfg.type != "hifigan":
+        raise ValueError("sequence-parallel decode supports the hifigan "
+                         f"decoder (got {cfg.type!r})")
+    axis = axis or mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    b, f_total, _ = asr.shape
+    if f_total % n_dev:
+        raise ValueError(f"F={f_total} not divisible by {n_dev} devices")
+    core = f_total // n_dev
+    need = decoder_receptive_field(cfg)
+    if margin < need:
+        raise ValueError(f"margin {margin} < receptive field bound {need}")
+    if margin > core:
+        raise ValueError(f"margin {margin} > per-device frames {core}; "
+                         "use fewer devices or longer input")
+    total_up = int(np.prod(cfg.upsample_rates))
+    spa = 2 * total_up  # samples per asr frame (mel = 2x asr rate)
+
+    def body(p, asr_l, f0_l, n_l, s_l, nv):
+        asr_w = _halo(asr_l, margin, axis, n_dev)
+        f0_w = _halo(f0_l, 2 * margin, axis, n_dev)
+        n_w = _halo(n_l, 2 * margin, axis, n_dev)
+
+        limit = nv  # per-row valid asr-frame limit (== F when unpadded)
+
+        # replicated NSF source from the full F0 curve: the sine phase
+        # cumsum stays bitwise identical to the single-device decode.
+        # Zero F0 past the valid prefix first — decoder_apply does the
+        # same via mel_mask before its internal source computation
+        f0_g = jax.lax.all_gather(f0_l, axis, axis=1, tiled=True)  # (B, 2F)
+        f0_g = jnp.where(
+            jnp.arange(f0_g.shape[1])[None, :] < 2 * limit[:, None],
+            f0_g, 0.0)
+        f0_up = OPS.interpolate_nearest(f0_g[:, None, :], total_up)
+        har_g, _ = DE.source_module_apply(
+            p["generator"]["m_source"], jnp.swapaxes(f0_up, 1, 2), None,
+            total_up)  # (B, 2F * total_up, 1)
+        har_pad = jnp.pad(har_g,
+                          ((0, 0), (margin * spa, margin * spa), (0, 0)))
+        idx = jax.lax.axis_index(axis)
+        har_w = jax.lax.dynamic_slice_in_dim(
+            har_pad, idx * (core * spa), (core + 2 * margin) * spa, axis=1)
+
+        # global-validity mask over the haloed window: the zero-filled
+        # outer margins of the edge devices must read as zeros at EVERY
+        # conv input (the single-device SAME convs re-pad with fresh zeros
+        # at each layer, but AdaIN's beta re-populates them) — the decoder
+        # re-zeroes masked positions after each norm, which reproduces the
+        # single-device edge behavior exactly. Interior devices of an
+        # unpadded decode see an all-true mask, i.e. the unmasked math.
+        gpos = idx * core - margin + jnp.arange(core + 2 * margin)
+        frame_mask = (gpos[None, :] >= 0) & (gpos[None, :] < limit[:, None])
+
+        ctx = L.SeqParCtx(axis=axis, t_base=core + 2 * margin,
+                          lo=margin, hi=margin + core)
+        with L.seqpar_stats(ctx):
+            wav_w = DE.decoder_apply(p, cfg, asr_w, f0_w, n_w, s_l,
+                                     rng=None, train=False,
+                                     frame_mask=frame_mask,
+                                     har_source=har_w)
+        return wav_w[:, margin * spa: (margin + core) * spa]
+
+    nv = (jnp.full((b,), f_total, jnp.int32) if n_valid is None
+          else jnp.asarray(n_valid, jnp.int32))
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(None, axis, None), P(None, axis), P(None, axis),
+                  P(), P()),
+        out_specs=P(None, axis, None),
+        check_vma=False)
+    return fn(p_dec, asr, f0, n, s, nv)
