@@ -241,7 +241,7 @@ def adain_res_block1_apply(p, x: jnp.ndarray, s: jnp.ndarray,
     # stats semantics, n_valid the kernel's zero boundary), fused weight
     # norm, and an even time tiling for every dilation's halo
     if (fold is None and mask is not None and n_valid is not None
-            and L._SEQPAR_CTX is None  # seq-par windows aren't prefix-masked
+            and L.seqpar_ctx() is None  # seq-par windows aren't prefix-masked
             and jax.default_backend() == "tpu"
             and "weight" in p["convs1"]["0"]
             and os.environ.get("STYLETTS2_TPU_NO_VOCODER_PALLAS") != "1"
@@ -306,7 +306,7 @@ def adain_res_block1_apply(p, x: jnp.ndarray, s: jnp.ndarray,
         # C=64 measures neutral (9.3 vs 10.0 ms/block on v5e) — fold only
         # where the lanes are 4x underfilled
         if (n_valid is not None and jax.default_backend() == "tpu"
-                and L._SEQPAR_CTX is None
+                and L.seqpar_ctx() is None
                 and c <= 32 and 128 % c == 0
                 and "weight" in p["convs1"]["0"]):
             f = 128 // c

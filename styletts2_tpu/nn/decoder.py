@@ -353,7 +353,8 @@ def decoder_apply(p, cfg: DecoderConfig, asr: jnp.ndarray,
                   f0_curve: jnp.ndarray, n: jnp.ndarray, s: jnp.ndarray,
                   rng=None, train: bool = False,
                   frame_mask: Optional[jnp.ndarray] = None,
-                  har_source: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                  har_source: Optional[jnp.ndarray] = None,
+                  seq_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Decoder shell (reference hifigan.py:446-475).
 
     asr: (B, F, 512) aligned text features at the half-mel rate;
@@ -361,6 +362,8 @@ def decoder_apply(p, cfg: DecoderConfig, asr: jnp.ndarray,
     frame_mask: (B, F) valid mask at the asr rate (None = all valid).
     har_source: optional precomputed NSF source (hifigan only — see
     hifigan_generator_apply; used by the sequence-parallel decode).
+    seq_mask: optional (B, F) in-sequence mask at the asr rate (vocos
+    only — iSTFT overlap-add grid for sequence-parallel windows).
     Returns wav (B, L, 1)."""
     if rng is None:
         k_smooth = k_gen = None
@@ -405,6 +408,8 @@ def decoder_apply(p, cfg: DecoderConfig, asr: jnp.ndarray,
 
     if cfg.type != "hifigan" and har_source is not None:
         raise ValueError("har_source passthrough is hifigan-only")
+    if cfg.type != "vocos" and seq_mask is not None:
+        raise ValueError("seq_mask passthrough is vocos-only")
     if cfg.type == "hifigan":
         return hifigan_generator_apply(p["generator"], x, s, f0_curve, k_gen,
                                        cfg, mel_mask, har_source=har_source)
@@ -414,4 +419,7 @@ def decoder_apply(p, cfg: DecoderConfig, asr: jnp.ndarray,
                                         cfg, mel_mask)
     else:
         from styletts2_tpu.nn.vocos import vocos_generator_apply
-        return vocos_generator_apply(p["generator"], x, s, cfg, mel_mask)
+        mel_seq = (jnp.repeat(seq_mask, 2, axis=1)
+                   if seq_mask is not None else None)
+        return vocos_generator_apply(p["generator"], x, s, cfg, mel_mask,
+                                     seq_mask=mel_seq)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 import os
+import threading
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -332,33 +333,38 @@ class SeqParCtx:
         self.axis, self.t_base, self.lo, self.hi = axis, t_base, lo, hi
 
 
-_SEQPAR_CTX: Optional[SeqParCtx] = None
+# thread-local so a seq-par trace on one thread cannot leak its context
+# into a plain decode tracing concurrently on another (e.g. a background
+# warmup) — psum over a nonexistent axis fails the foreign compile
+_SEQPAR_TLS = threading.local()
+
+
+def seqpar_ctx() -> Optional[SeqParCtx]:
+    return getattr(_SEQPAR_TLS, "ctx", None)
 
 
 class seqpar_stats:
     """Context manager installing a SeqParCtx for the enclosed apply calls
-    (trace-time scoping: shard_map traces its body once, so a module global
-    set during tracing is safe)."""
+    (trace-time scoping: shard_map traces its body once, so a per-thread
+    global set during tracing is safe)."""
 
     def __init__(self, ctx: SeqParCtx):
         self.ctx = ctx
 
     def __enter__(self):
-        global _SEQPAR_CTX
-        self._prev = _SEQPAR_CTX
-        _SEQPAR_CTX = self.ctx
+        self._prev = seqpar_ctx()
+        _SEQPAR_TLS.ctx = self.ctx
         return self.ctx
 
     def __exit__(self, *exc):
-        global _SEQPAR_CTX
-        _SEQPAR_CTX = self._prev
+        _SEQPAR_TLS.ctx = self._prev
         return False
 
 
 def _seqpar_core_mask(t_local: int) -> jnp.ndarray:
     """(1, t_local, 1) f32 mask of this device's core region at whatever
     rate t_local implies relative to the context's base length."""
-    ctx = _SEQPAR_CTX
+    ctx = seqpar_ctx()
     f, rem = divmod(t_local, ctx.t_base)
     if rem != 0:
         raise ValueError(
@@ -373,7 +379,7 @@ def _masked_stats(xf: jnp.ndarray, m: Optional[jnp.ndarray]):
     """Two-pass masked mean/var over the T axis of (B, T, C) f32 input;
     m: (B, T, 1) f32 or None. Under an active SeqParCtx the stats are
     global: summed over core regions and psum'd across the mesh axis."""
-    ctx = _SEQPAR_CTX
+    ctx = seqpar_ctx()
     if ctx is not None:
         core = _seqpar_core_mask(xf.shape[1])
         m = core if m is None else m * core

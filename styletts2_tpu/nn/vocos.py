@@ -64,8 +64,15 @@ def vocos_generator_init(key, cfg: DecoderConfig, style_dim: int = 128,
 
 def vocos_generator_apply(p, x: jnp.ndarray, s: jnp.ndarray,
                           cfg: DecoderConfig,
-                          frame_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                          frame_mask: Optional[jnp.ndarray] = None,
+                          seq_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """x: (B, T, C) at mel rate -> wav (B, T*hop, 1).
+
+    seq_mask: optional (B, T) in-sequence mask for sequence-parallel
+    windows (parallel/seqpar.py): frame slots outside the global sequence
+    must not contribute audio or window envelope to the iSTFT overlap-add
+    (a single-device tensor has no such slots). Distinct from frame_mask,
+    whose invalid-but-in-sequence pad slots DO contribute on one device.
 
     Parity: reference vocos.py:157-162 + ISTFTHead 271-296."""
     n_fft = cfg.gen_istft_n_fft
@@ -80,5 +87,6 @@ def vocos_generator_apply(p, x: jnp.ndarray, s: jnp.ndarray,
     mag = jnp.minimum(jnp.exp(mag), 1e2)
     real = mag * jnp.cos(phase)
     imag = mag * jnp.sin(phase)
-    wav = OPS.istft_vocos(real, imag, n_fft, hop, n_fft)  # (B, L)
+    wav = OPS.istft_vocos(real, imag, n_fft, hop, n_fft,
+                          frame_valid=seq_mask)  # (B, L)
     return wav[..., None]

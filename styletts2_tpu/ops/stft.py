@@ -419,11 +419,18 @@ def istft_vocos(
     n_fft: int,
     hop_length: int,
     win_length: int,
+    frame_valid=None,
 ) -> jnp.ndarray:
     """Vocos ISTFT parity with padding='same' (reference vocos.py:190-232).
 
     (B, freq_bins, T) real/imag -> (B, L) waveform: irfft -> window ->
-    overlap-add -> divide by window envelope -> trim (win-hop)//2."""
+    overlap-add -> divide by window envelope -> trim (win-hop)//2.
+
+    frame_valid: optional (B, T) bool — frames marked False contribute
+    neither audio nor window envelope, as if those frame slots did not
+    exist. Used by the sequence-parallel decode for the out-of-sequence
+    halo margins of the edge devices (a single-device call has no such
+    slots, so its grid == all-valid)."""
     pad = (win_length - hop_length) // 2
     b, nbins, t = spec_real.shape
     # irfft as matmul with windowed inverse bases; fold the irfft symmetry
@@ -441,9 +448,13 @@ def istft_vocos(
     real_frames = _mm(jnp.swapaxes(spec_real, 1, 2), cos_p)
     imag_frames = _mm(jnp.swapaxes(spec_imag, 1, 2), sin_p)
     frames = real_frames - imag_frames  # (B, T, n_fft): window already folded in
-    y = _overlap_add(frames, hop_length)
     # window envelope: OLA of window^2 over the same frame grid
     env_frames = jnp.broadcast_to((w * w)[None, None, :], (1, t, win_length))
+    if frame_valid is not None:
+        fv = frame_valid[..., None].astype(frames.dtype)  # (B, T, 1)
+        frames = frames * fv
+        env_frames = env_frames * fv
+    y = _overlap_add(frames, hop_length)
     env = _overlap_add(env_frames, hop_length)
     y = y / jnp.maximum(env, 1e-11)
     return y[:, pad:-pad] if pad > 0 else y

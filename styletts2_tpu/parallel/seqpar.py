@@ -31,7 +31,13 @@ Communication per decode: two ppermutes + one all-gather of the (B, 2F)
 F0 curve up front, plus one (B, 1+C)-sized psum pair per AdaIN — all
 riding ICI; the activations (~99.9% of the bytes) never move.
 
-Scope: hifigan (the flagship decoder). F must divide by the device count;
+Scope: hifigan (the flagship decoder) and vocos (whose iSTFT overlap-add
+gets the global frame grid via a seq_mask — see vocos_generator_apply).
+istftnet is not supported: its last stage reflection-pads one extra frame
+and its source STFT runs center=True (nn/istftnet.py:81-109), so the
+frame grid is not translation-invariant at shard boundaries — batch-
+sharded mesh serving covers it instead. F must divide by the device
+count;
 padded static buckets pass the per-row valid prefix as `n_valid` (the
 frame-sharded equivalent of `decoder_apply`'s prefix frame_mask —
 `infer.StyleTTS2(seq_parallel=True)` routes its phase-2 here this way).
@@ -55,29 +61,54 @@ from styletts2_tpu.ops import stft as OPS
 DEFAULT_MARGIN = 32  # asr frames; ~2x the default config's receptive field
 
 
+def _shard_map(body, mesh, in_specs, out_specs):
+    """jax.shard_map across jax versions: the top-level export with
+    check_vma (>= 0.7), the top-level with check_rep, and the
+    jax.experimental.shard_map fallback for older releases."""
+    sm = getattr(jax, "shard_map", None)
+    if sm is None:  # pre-0.8 namespace
+        from jax.experimental.shard_map import shard_map as sm
+    for kw in ({"check_vma": False}, {"check_rep": False}, {}):
+        try:
+            return sm(body, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, **kw)
+        except TypeError:
+            continue
+    raise RuntimeError("no compatible shard_map signature found")
+
+
 def decoder_receptive_field(cfg: DecoderConfig) -> int:
-    """Conservative one-sided receptive field of the hifigan decoder in
-    asr frames — the minimum legal halo margin.
+    """Conservative one-sided receptive field of the decoder in asr
+    frames — the minimum legal halo margin.
 
     Shell (asr rate): encode + 4 decode AdainResBlk1d's, k3 convs -> ±2
-    each, ±10 total (reference hifigan.py:416-475). Generator (counted in
-    mel frames, divided by each stage's cumulative upsample rate): the
-    transposed-conv reach plus the widest dilated Snake/AdaIN stack per
-    stage (reference hifigan.py:26-80, 272-356); the NSF source costs no
-    margin (computed globally)."""
+    each, ±10 total (reference hifigan.py:416-475). Generator in mel
+    frames (divided by 2 for asr frames):
+
+    * hifigan: per upsample stage the transposed-conv reach plus the
+      widest dilated Snake/AdaIN stack, divided by the stage's cumulative
+      upsample rate (reference hifigan.py:26-80, 272-356); the NSF source
+      costs no margin (computed globally);
+    * vocos: num_layers dwconv-k7 ConvNeXt blocks plus the iSTFT head's
+      overlap-add reach (reference vocos.py:27-69, 190-232)."""
+    if cfg.type == "vocos":
+        rf_mel = cfg.num_layers * 3.0  # dwconv k7 -> ±3 mel per block
+        rf_mel += math.ceil(cfg.gen_istft_n_fft / cfg.gen_istft_hop_size)
+        return 10 + math.ceil(rf_mel / 2) + 1
+    res_span = max(  # widest dilated stack, identical at every stage
+        sum(d * (rk - 1) // 2 + (rk - 1) // 2 for d in rd)
+        for rk, rd in zip(cfg.resblock_kernel_sizes,
+                          cfg.resblock_dilation_sizes))
     rf_mel = 1.0  # F0/N stride-2 convs + nearest-neighbor F0 upsample
     prod = 1
     rates = cfg.upsample_rates
     for i, (u, k) in enumerate(zip(rates, cfg.upsample_kernel_sizes)):
         rf_mel += math.ceil(k / u) / prod  # transposed conv input reach
         prod *= u
-        spans = []
-        for rk, rd in zip(cfg.resblock_kernel_sizes,
-                          cfg.resblock_dilation_sizes):
-            spans.append(sum(d * (rk - 1) // 2 + (rk - 1) // 2 for d in rd))
         nk = 7 if i + 1 < len(rates) else 11  # noise_res kernel (decoder.py)
-        spans.append(sum(d * (nk - 1) // 2 + (nk - 1) // 2 for d in (1, 3, 5)))
-        rf_mel += max(spans) / prod  # resblocks are averaged, not chained
+        noise_span = sum(d * (nk - 1) // 2 + (nk - 1) // 2 for d in (1, 3, 5))
+        # resblocks are averaged, not chained: take the widest branch
+        rf_mel += max(res_span, noise_span) / prod
     rf_mel += math.ceil(7 / 2) / prod  # conv_post k7 at sample rate
     return 10 + math.ceil(rf_mel / 2) + 1
 
@@ -110,9 +141,9 @@ def sp_decoder_apply(mesh: Mesh, p_dec, cfg: DecoderConfig,
     frame_mask (samples past it come back zeroed). Returns
     wav (B, F * 2 * prod(rates), 1), sharded on time.
     """
-    if cfg.type != "hifigan":
+    if cfg.type not in ("hifigan", "vocos"):
         raise ValueError("sequence-parallel decode supports the hifigan "
-                         f"decoder (got {cfg.type!r})")
+                         f"and vocos decoders (got {cfg.type!r})")
     axis = axis or mesh.axis_names[0]
     n_dev = mesh.shape[axis]
     b, f_total, _ = asr.shape
@@ -125,7 +156,8 @@ def sp_decoder_apply(mesh: Mesh, p_dec, cfg: DecoderConfig,
     if margin > core:
         raise ValueError(f"margin {margin} > per-device frames {core}; "
                          "use fewer devices or longer input")
-    total_up = int(np.prod(cfg.upsample_rates))
+    total_up = (int(np.prod(cfg.upsample_rates)) if cfg.type == "hifigan"
+                else cfg.gen_istft_hop_size)
     spa = 2 * total_up  # samples per asr frame (mel = 2x asr rate)
 
     def body(p, asr_l, f0_l, n_l, s_l, nv):
@@ -134,24 +166,28 @@ def sp_decoder_apply(mesh: Mesh, p_dec, cfg: DecoderConfig,
         n_w = _halo(n_l, 2 * margin, axis, n_dev)
 
         limit = nv  # per-row valid asr-frame limit (== F when unpadded)
-
-        # replicated NSF source from the full F0 curve: the sine phase
-        # cumsum stays bitwise identical to the single-device decode.
-        # Zero F0 past the valid prefix first — decoder_apply does the
-        # same via mel_mask before its internal source computation
-        f0_g = jax.lax.all_gather(f0_l, axis, axis=1, tiled=True)  # (B, 2F)
-        f0_g = jnp.where(
-            jnp.arange(f0_g.shape[1])[None, :] < 2 * limit[:, None],
-            f0_g, 0.0)
-        f0_up = OPS.interpolate_nearest(f0_g[:, None, :], total_up)
-        har_g, _ = DE.source_module_apply(
-            p["generator"]["m_source"], jnp.swapaxes(f0_up, 1, 2), None,
-            total_up)  # (B, 2F * total_up, 1)
-        har_pad = jnp.pad(har_g,
-                          ((0, 0), (margin * spa, margin * spa), (0, 0)))
         idx = jax.lax.axis_index(axis)
-        har_w = jax.lax.dynamic_slice_in_dim(
-            har_pad, idx * (core * spa), (core + 2 * margin) * spa, axis=1)
+
+        har_w = None
+        if cfg.type == "hifigan":
+            # replicated NSF source from the full F0 curve: the sine phase
+            # cumsum stays bitwise identical to the single-device decode.
+            # Zero F0 past the valid prefix first — decoder_apply does the
+            # same via mel_mask before its internal source computation
+            f0_g = jax.lax.all_gather(f0_l, axis, axis=1,
+                                      tiled=True)  # (B, 2F)
+            f0_g = jnp.where(
+                jnp.arange(f0_g.shape[1])[None, :] < 2 * limit[:, None],
+                f0_g, 0.0)
+            f0_up = OPS.interpolate_nearest(f0_g[:, None, :], total_up)
+            har_g, _ = DE.source_module_apply(
+                p["generator"]["m_source"], jnp.swapaxes(f0_up, 1, 2), None,
+                total_up)  # (B, 2F * total_up, 1)
+            har_pad = jnp.pad(har_g,
+                              ((0, 0), (margin * spa, margin * spa), (0, 0)))
+            har_w = jax.lax.dynamic_slice_in_dim(
+                har_pad, idx * (core * spa), (core + 2 * margin) * spa,
+                axis=1)
 
         # global-validity mask over the haloed window: the zero-filled
         # outer margins of the edge devices must read as zeros at EVERY
@@ -163,21 +199,30 @@ def sp_decoder_apply(mesh: Mesh, p_dec, cfg: DecoderConfig,
         gpos = idx * core - margin + jnp.arange(core + 2 * margin)
         frame_mask = (gpos[None, :] >= 0) & (gpos[None, :] < limit[:, None])
 
+        # vocos only: the iSTFT overlap-add must see exactly the global
+        # frame grid — window slots outside [0, F) contribute neither
+        # audio nor envelope (invalid-but-in-sequence pad slots keep
+        # contributing, matching the single-device padded-bucket math)
+        seq_mask = None
+        if cfg.type == "vocos":
+            in_seq = (gpos >= 0) & (gpos < f_total)
+            seq_mask = jnp.broadcast_to(in_seq[None, :],
+                                        (asr_l.shape[0], in_seq.shape[0]))
+
         ctx = L.SeqParCtx(axis=axis, t_base=core + 2 * margin,
                           lo=margin, hi=margin + core)
         with L.seqpar_stats(ctx):
             wav_w = DE.decoder_apply(p, cfg, asr_w, f0_w, n_w, s_l,
                                      rng=None, train=False,
                                      frame_mask=frame_mask,
-                                     har_source=har_w)
+                                     har_source=har_w, seq_mask=seq_mask)
         return wav_w[:, margin * spa: (margin + core) * spa]
 
     nv = (jnp.full((b,), f_total, jnp.int32) if n_valid is None
           else jnp.asarray(n_valid, jnp.int32))
-    fn = jax.shard_map(
-        body, mesh=mesh,
+    fn = _shard_map(
+        body, mesh,
         in_specs=(P(), P(None, axis, None), P(None, axis), P(None, axis),
                   P(), P()),
-        out_specs=P(None, axis, None),
-        check_vma=False)
+        out_specs=P(None, axis, None))
     return fn(p_dec, asr, f0, n, s, nv)

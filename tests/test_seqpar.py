@@ -76,7 +76,40 @@ def test_sp_decoder_matches_single_device():
     # only the norm stats' psum association differs from one device (f32):
     # the waveforms must agree to rounding noise, not "roughly"
     np.testing.assert_allclose(got, ref, rtol=0, atol=2e-4)
-    assert np.max(np.abs(got - ref)) < 2e-4
+
+
+def test_sp_vocos_matches_single_device():
+    """Vocos head under SP: the iSTFT overlap-add sees exactly the global
+    frame grid (seq_mask), so the 8-device waveform matches one device —
+    including the envelope-divided global edges."""
+    mp = load_config({
+        "model_params": {
+            "style_dim": 32,
+            "decoder": {
+                "type": "vocos",
+                "num_layers": 3,
+                "intermediate_dim": 256,
+                "gen_istft_n_fft": 240,
+                "gen_istft_hop_size": 60,
+            },
+        },
+    }).model_params
+    cfg = mp.decoder
+    p_dec = DE.decoder_init(jax.random.PRNGKey(5), cfg, dim_in=512,
+                            style_dim=mp.style_dim)
+    n_dev = 8
+    mesh = make_mesh(n_dev, axis="sp")
+    margin = decoder_receptive_field(cfg)
+    f_total = n_dev * max(16, margin + 2)
+    rng = np.random.default_rng(6)
+    asr, f0, n, s = _decoder_inputs(rng, 2, f_total, style_dim=mp.style_dim)
+
+    ref = DE.decoder_apply(p_dec, cfg, asr, f0, n, s, rng=None, train=False,
+                           frame_mask=None)
+    got = sp_decoder_apply(mesh, p_dec, cfg, asr, f0, n, s, margin=margin,
+                           axis="sp")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=2e-4)
 
 
 def test_sp_decoder_padded_prefix_matches_masked_single_device():
