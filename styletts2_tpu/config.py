@@ -162,6 +162,16 @@ class TPUConfig:
 
     # Data-parallel mesh axis size; -1 = use all visible devices.
     dp: int = -1
+    # Rematerialize (jax.checkpoint) the decoder synthesis and the
+    # generator-side discriminator forwards in the G-step backward: the
+    # waveform-rate activations that dominate training HBM are recomputed
+    # instead of stored, trading ~one extra forward of each for a much
+    # smaller live set — enables larger batch_size/max_len per chip.
+    remat: bool = False
+    # Average each D/G step's gradients over this many micro-batches
+    # (batch_size must divide) before the single optimizer update: HBM
+    # scales with batch_size/grad_accum. Composes with remat.
+    grad_accum: int = 1
     # Compute dtype for the vocoder hot path ("bfloat16" | "float32").
     decoder_dtype: str = "bfloat16"
     # Static-shape buckets used by the inference engine. Frame buckets are

@@ -153,8 +153,8 @@ class StyleTTS2:
         ICI; XLA partitions the per-row vocoder compute). mesh=None (the
         default) is the single-chip path with exact-size batch groups.
 
-        seq_parallel (requires mesh; hifigan/vocos): shard the vocoder's
-        FRAME axis over the mesh instead of the batch axis
+        seq_parallel (requires mesh; all three decoders): shard the
+        vocoder's FRAME axis over the mesh instead of the batch axis
         (parallel/seqpar.py) — single-stream latency scaling for long
         chunks. Batching behaves like the single-chip path (inputs
         replicated); phase-2 decodes frame buckets >= n_dev * margin
@@ -192,9 +192,6 @@ class StyleTTS2:
         if self.seq_parallel:
             if mesh is None:
                 raise ValueError("seq_parallel requires a mesh")
-            if mp.decoder.type not in ("hifigan", "vocos"):
-                raise ValueError("seq_parallel supports the hifigan and "
-                                 f"vocos decoders (got {mp.decoder.type!r})")
             from styletts2_tpu.parallel import seqpar as SP
             self._sp_margin = max(SP.DEFAULT_MARGIN,
                                   SP.decoder_receptive_field(mp.decoder))

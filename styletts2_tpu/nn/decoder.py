@@ -354,7 +354,8 @@ def decoder_apply(p, cfg: DecoderConfig, asr: jnp.ndarray,
                   rng=None, train: bool = False,
                   frame_mask: Optional[jnp.ndarray] = None,
                   har_source: Optional[jnp.ndarray] = None,
-                  seq_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                  seq_mask: Optional[jnp.ndarray] = None,
+                  seq_win: Optional[dict] = None) -> jnp.ndarray:
     """Decoder shell (reference hifigan.py:446-475).
 
     asr: (B, F, 512) aligned text features at the half-mel rate;
@@ -364,6 +365,8 @@ def decoder_apply(p, cfg: DecoderConfig, asr: jnp.ndarray,
     hifigan_generator_apply; used by the sequence-parallel decode).
     seq_mask: optional (B, F) in-sequence mask at the asr rate (vocos
     only — iSTFT overlap-add grid for sequence-parallel windows).
+    seq_win: optional istftnet sequence-parallel window descriptor
+    (see istftnet_generator_apply).
     Returns wav (B, L, 1)."""
     if rng is None:
         k_smooth = k_gen = None
@@ -410,13 +413,15 @@ def decoder_apply(p, cfg: DecoderConfig, asr: jnp.ndarray,
         raise ValueError("har_source passthrough is hifigan-only")
     if cfg.type != "vocos" and seq_mask is not None:
         raise ValueError("seq_mask passthrough is vocos-only")
+    if cfg.type != "istftnet" and seq_win is not None:
+        raise ValueError("seq_win passthrough is istftnet-only")
     if cfg.type == "hifigan":
         return hifigan_generator_apply(p["generator"], x, s, f0_curve, k_gen,
                                        cfg, mel_mask, har_source=har_source)
     elif cfg.type == "istftnet":
         from styletts2_tpu.nn.istftnet import istftnet_generator_apply
         return istftnet_generator_apply(p["generator"], x, s, f0_curve, k_gen,
-                                        cfg, mel_mask)
+                                        cfg, mel_mask, seq_win=seq_win)
     else:
         from styletts2_tpu.nn.vocos import vocos_generator_apply
         mel_seq = (jnp.repeat(seq_mask, 2, axis=1)

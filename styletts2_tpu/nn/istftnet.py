@@ -63,8 +63,33 @@ def istftnet_generator_init(key, cfg: DecoderConfig, style_dim: int = 128):
 
 def istftnet_generator_apply(p, x: jnp.ndarray, s: jnp.ndarray,
                              f0_curve: jnp.ndarray, rng, cfg: DecoderConfig,
-                             frame_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """x: (B, T, C) at mel rate; f0_curve: (B, T); -> wav (B, T*300, 1)."""
+                             frame_mask: Optional[jnp.ndarray] = None,
+                             seq_win: Optional[dict] = None) -> jnp.ndarray:
+    """x: (B, T, C) at mel rate; f0_curve: (B, T); -> wav (B, T*300, 1).
+
+    seq_win (sequence-parallel windowed decode, parallel/seqpar.py): the
+    generator runs on a haloed time window of the global sequence instead
+    of the whole sequence. dict of
+      'har'  (B, T*prod(rates)+1, n_fft+2) window of the REPLICATED
+             harmonic-source STFT, sliced at the window's global frame
+             offset (+1 tail frame: the source STFT is center=True so the
+             global grid has one frame more than the pre-pad main branch);
+      'pad0' (T*prod(rates)+1,) bool marking the local slot that holds
+             GLOBAL reflection-padded position 0 (device 0 only) — the
+             single-device path prepends x[:, 1:2] globally
+             (reference istftnet.py:538,559), which a per-window concat
+             cannot reproduce, so the window concat uses a placeholder
+             edge frame (absorbed by the halo margin) and this slot is
+             overwritten with the true reflect value;
+      'mask_pad' (B, T*prod(rates)+1) validity of the last stage in
+             reflection-PADDED coordinates (replaces the True-padded
+             stage mask of the single-device path);
+      'grid' (T*prod(rates)+1,) bool — frames inside the GLOBAL padded
+             grid [0, T_global*prod(rates)]; frames outside contribute
+             nothing to the iSTFT overlap-add (on one device they do not
+             exist at all).
+    The internal source computation is skipped (the caller computed it
+    globally so the sine phase cumsum is bitwise identical)."""
     rates = cfg.upsample_rates
     n_up = len(rates)
     nk = len(cfg.resblock_kernel_sizes)
@@ -73,15 +98,22 @@ def istftnet_generator_apply(p, x: jnp.ndarray, s: jnp.ndarray,
     total_up = int(np.prod(rates)) * hop
     slope = 0.1
 
-    # harmonic source at sample rate, then its STFT (reference 543-550)
-    f0_up = jnp.swapaxes(OPS.interpolate_nearest(f0_curve[:, None, :],
-                                                 total_up), 1, 2)
-    har_source, _ = source_module_apply(p["m_source"], f0_up, rng, total_up)
-    har_source = jax.lax.stop_gradient(har_source[..., 0])  # (B, L)
-    har_spec, har_phase = OPS.stft_mag_phase(har_source, n_fft, hop, n_fft,
-                                             center=True, pad_mode="replicate")
-    har = jnp.concatenate([har_spec, har_phase], axis=1)  # (B, n_fft+2, L/hop+1)
-    har = jnp.swapaxes(har, 1, 2).astype(x.dtype)  # channels-last
+    if seq_win is not None:
+        har_full = seq_win["har"].astype(x.dtype)  # (B, T*prod+1, nfft+2)
+    else:
+        # harmonic source at sample rate, then its STFT (reference 543-550)
+        f0_up = jnp.swapaxes(OPS.interpolate_nearest(f0_curve[:, None, :],
+                                                     total_up), 1, 2)
+        har_source, _ = source_module_apply(p["m_source"], f0_up, rng,
+                                            total_up)
+        har_source = jax.lax.stop_gradient(har_source[..., 0])  # (B, L)
+        har_spec, har_phase = OPS.stft_mag_phase(har_source, n_fft, hop,
+                                                 n_fft, center=True,
+                                                 pad_mode="replicate")
+        har_full = jnp.concatenate([har_spec, har_phase],
+                                   axis=1)  # (B, n_fft+2, L/hop+1)
+        har_full = jnp.swapaxes(har_full, 1, 2).astype(x.dtype)
+    har = har_full
 
     def stage_mask(i):
         if frame_mask is None:
@@ -106,12 +138,26 @@ def istftnet_generator_apply(p, x: jnp.ndarray, s: jnp.ndarray,
                                      padding=(k - u) // 2)
         if last:
             # ReflectionPad1d((1, 0)) — reference istftnet.py:538,559
-            x = jnp.concatenate([x[:, 1:2, :], x], axis=1)
+            if seq_win is None:
+                x = jnp.concatenate([x[:, 1:2, :], x], axis=1)
+            else:
+                # windowed: the pad is GLOBAL (one extra frame at global
+                # position 0, everything shifts +1). Prepend a placeholder
+                # edge frame (its true value lives one frame outside the
+                # halo window; garbage there is absorbed by the margin),
+                # then overwrite the slot holding global padded position 0
+                # with the true reflect value x[global 1] — which sits two
+                # slots to its right in the same window
+                x = jnp.concatenate([x[:, :1, :], x], axis=1)
+                x = jnp.where(seq_win["pad0"][None, :, None],
+                              jnp.roll(x, -2, axis=1), x)
         m_out = None
         if frame_mask is not None:
             m_out = stage_mask(i + 1)
             if last:
-                m_out = jnp.pad(m_out, ((0, 0), (1, 0)), constant_values=True)
+                m_out = (seq_win["mask_pad"] if seq_win is not None else
+                         jnp.pad(m_out, ((0, 0), (1, 0)),
+                                 constant_values=True))
         x_source = B.adain_res_block1_apply(p["noise_res"][str(i)], x_source, s,
                                             7 if not last else 11, (1, 3, 5),
                                             m_out)
@@ -125,8 +171,17 @@ def istftnet_generator_apply(p, x: jnp.ndarray, s: jnp.ndarray,
             xs = r if xs is None else xs + r
         x = xs / nk
     x = L.leaky_relu(x, 0.01)  # F.leaky_relu default slope (istftnet.py:569)
+    if seq_win is not None:
+        # conv_post is the one conv whose input is not re-zeroed by an
+        # AdaIN: out-of-grid window slots hold conv bias + spill, but the
+        # single-device tensor ENDS there (true zero padding) — zero them
+        # so conv_post sees the physical-edge semantics at the global
+        # sequence boundaries
+        x = jnp.where(seq_win["grid"][None, :, None], x, 0.0)
     x = L.conv1d_apply(p["conv_post"], x, padding=3)  # (B, Tf, n_fft+2)
     x = jnp.swapaxes(x, 1, 2).astype(jnp.float32)
     spec = jnp.exp(x[:, : n_fft // 2 + 1, :])
     phase = jnp.sin(x[:, n_fft // 2 + 1:, :])
-    return jnp.swapaxes(OPS.istft_conv(spec, phase, n_fft, hop, n_fft), 1, 2)
+    grid = seq_win["grid"] if seq_win is not None else None
+    return jnp.swapaxes(OPS.istft_conv(spec, phase, n_fft, hop, n_fft,
+                                       frame_valid=grid), 1, 2)

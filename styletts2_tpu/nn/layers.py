@@ -325,12 +325,16 @@ def plain_layer_norm(x: jnp.ndarray, eps: float = 1e-5,
 
 class SeqParCtx:
     """axis: mesh axis to psum over; t_base: local window length at the
-    base rate; [lo, hi): core interval at the base rate."""
+    base rate; [lo, hi): core interval at the base rate; n_dev: mesh-axis
+    size (needed only for the reflection-padded +1 grid, see
+    `_seqpar_core_mask`)."""
 
-    __slots__ = ("axis", "t_base", "lo", "hi")
+    __slots__ = ("axis", "t_base", "lo", "hi", "n_dev")
 
-    def __init__(self, axis: str, t_base: int, lo: int, hi: int):
+    def __init__(self, axis: str, t_base: int, lo: int, hi: int,
+                 n_dev: Optional[int] = None):
         self.axis, self.t_base, self.lo, self.hi = axis, t_base, lo, hi
+        self.n_dev = n_dev
 
 
 # thread-local so a seq-par trace on one thread cannot leak its context
@@ -363,15 +367,28 @@ class seqpar_stats:
 
 def _seqpar_core_mask(t_local: int) -> jnp.ndarray:
     """(1, t_local, 1) f32 mask of this device's core region at whatever
-    rate t_local implies relative to the context's base length."""
+    rate t_local implies relative to the context's base length.
+
+    rem == 1 is the reflection-padded grid (istftnet's last stage
+    prepends ONE frame to the whole sequence, nn/istftnet.py:108-109):
+    the global grid has f*T_base + 1 slots, each window carries one extra
+    leading slot, and position indexing shifts so the standard
+    [lo*f, hi*f) core still tiles the grid — except the one extra global
+    tail slot, which the LAST device along the axis claims."""
     ctx = seqpar_ctx()
     f, rem = divmod(t_local, ctx.t_base)
-    if rem != 0:
+    if rem not in (0, 1):
         raise ValueError(
-            f"seq-par stats on T={t_local} not a multiple of the base "
-            f"window {ctx.t_base}")
+            f"seq-par stats on T={t_local} not a multiple (or multiple+1, "
+            f"the reflection-padded grid) of the base window {ctx.t_base}")
     pos = jnp.arange(t_local)
     core = (pos >= ctx.lo * f) & (pos < ctx.hi * f)
+    if rem == 1:
+        if ctx.n_dev is None:
+            raise ValueError("reflection-padded seq-par stats need "
+                             "SeqParCtx.n_dev")
+        is_last = jax.lax.axis_index(ctx.axis) == ctx.n_dev - 1
+        core = core | ((pos == ctx.hi * f) & is_last)
     return core.astype(jnp.float32)[None, :, None]
 
 

@@ -391,12 +391,19 @@ def istft_conv(
     win_length: int,
     center: bool = True,
     length: Optional[int] = None,
+    frame_valid=None,
 ) -> jnp.ndarray:
     """CustomSTFT.inverse parity (reference istftnet.py:246-293).
 
     (B, freq_bins, frames) mag/phase -> (B, 1, T) waveform. Transposed-conv
     iSTFT: real/imag frames through windowed inverse-DFT bases, difference,
-    no window-envelope division (matches the reference bit-for-bit)."""
+    no window-envelope division (matches the reference bit-for-bit).
+
+    frame_valid: optional (T_f,) or (B, T_f) bool — frames marked False
+    contribute nothing to the overlap-add, as if those frame slots did not
+    exist (used by the sequence-parallel windowed decode for slots outside
+    the global frame grid; there is no window-envelope division here, so
+    zeroing the frames is the complete fix)."""
     real = magnitude * jnp.cos(phase)
     imag = magnitude * jnp.sin(phase)
     cos_b, sin_b = _traced_idft_bases(n_fft, win_length, scale=True,
@@ -404,7 +411,13 @@ def istft_conv(
     # frames_time[b, t, n] = sum_k real[b,k,t] * cos_b[k,n]  (and sin for imag)
     real_frames = _mm(jnp.swapaxes(real, 1, 2), cos_b)  # (B, T_f, n_fft)
     imag_frames = _mm(jnp.swapaxes(imag, 1, 2), sin_b)
-    wav = _overlap_add(real_frames - imag_frames, hop_length)
+    frames = real_frames - imag_frames
+    if frame_valid is not None:
+        fv = jnp.asarray(frame_valid)
+        if fv.ndim == 1:
+            fv = fv[None, :]
+        frames = frames * fv[..., None].astype(frames.dtype)
+    wav = _overlap_add(frames, hop_length)
     if center:
         pad = n_fft // 2
         wav = wav[:, pad:-pad]

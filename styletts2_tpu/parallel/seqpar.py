@@ -31,16 +31,26 @@ Communication per decode: two ppermutes + one all-gather of the (B, 2F)
 F0 curve up front, plus one (B, 1+C)-sized psum pair per AdaIN — all
 riding ICI; the activations (~99.9% of the bytes) never move.
 
-Scope: hifigan (the flagship decoder) and vocos (whose iSTFT overlap-add
-gets the global frame grid via a seq_mask — see vocos_generator_apply).
-istftnet is not supported: its last stage reflection-pads one extra frame
-and its source STFT runs center=True (nn/istftnet.py:81-109), so the
-frame grid is not translation-invariant at shard boundaries — batch-
-sharded mesh serving covers it instead. F must divide by the device
-count;
-padded static buckets pass the per-row valid prefix as `n_valid` (the
-frame-sharded equivalent of `decoder_apply`'s prefix frame_mask —
-`infer.StyleTTS2(seq_parallel=True)` routes its phase-2 here this way).
+Scope: all three reference decoders.
+
+* hifigan (the flagship): replicated NSF source + haloed windows;
+* vocos: the iSTFT overlap-add gets the global frame grid via a seq_mask
+  (see vocos_generator_apply);
+* istftnet: the two grid-global constructs — the center=True
+  replicate-padded source STFT (nn/istftnet.py:81-109) and the last
+  stage's ReflectionPad1d((1, 0)) +1 frame shift (nn/istftnet.py:108-109,
+  reference istftnet.py:538,559) — are handled by computing the source
+  STFT replicated (like the hifigan NSF source) and running the last
+  stage in reflection-PADDED grid coordinates per window (a `seq_win`
+  descriptor carries the sliced source window, the global pad slot, the
+  padded-coordinate validity mask, and the global-grid OLA mask; the
+  stats core mask claims the one extra grid slot on the last device —
+  layers._seqpar_core_mask's rem==1 rule).
+
+F must divide by the device count; padded static buckets pass the
+per-row valid prefix as `n_valid` (the frame-sharded equivalent of
+`decoder_apply`'s prefix frame_mask — `infer.StyleTTS2(seq_parallel=True)`
+routes its phase-2 here this way).
 """
 
 from __future__ import annotations
@@ -89,6 +99,9 @@ def decoder_receptive_field(cfg: DecoderConfig) -> int:
       widest dilated Snake/AdaIN stack, divided by the stage's cumulative
       upsample rate (reference hifigan.py:26-80, 272-356); the NSF source
       costs no margin (computed globally);
+    * istftnet: same stage loop (2 stages), plus the iSTFT head's
+      overlap-add reach and the global +1 reflection-pad grid shift
+      (reference istftnet.py:494-600);
     * vocos: num_layers dwconv-k7 ConvNeXt blocks plus the iSTFT head's
       overlap-add reach (reference vocos.py:27-69, 190-232)."""
     if cfg.type == "vocos":
@@ -109,7 +122,13 @@ def decoder_receptive_field(cfg: DecoderConfig) -> int:
         noise_span = sum(d * (nk - 1) // 2 + (nk - 1) // 2 for d in (1, 3, 5))
         # resblocks are averaged, not chained: take the widest branch
         rf_mel += max(res_span, noise_span) / prod
-    rf_mel += math.ceil(7 / 2) / prod  # conv_post k7 at sample rate
+    # conv_post k7 at the final frame rate (sample rate for hifigan)
+    rf_mel += math.ceil(7 / 2) / prod
+    if cfg.type == "istftnet":
+        # iSTFT overlap-add reach + the global +1 reflection-pad shift,
+        # both at the final frame rate (prod frames per mel frame)
+        rf_mel += (math.ceil(cfg.gen_istft_n_fft / cfg.gen_istft_hop_size)
+                   + 1) / prod
     return 10 + math.ceil(rf_mel / 2) + 1
 
 
@@ -141,9 +160,8 @@ def sp_decoder_apply(mesh: Mesh, p_dec, cfg: DecoderConfig,
     frame_mask (samples past it come back zeroed). Returns
     wav (B, F * 2 * prod(rates), 1), sharded on time.
     """
-    if cfg.type not in ("hifigan", "vocos"):
-        raise ValueError("sequence-parallel decode supports the hifigan "
-                         f"and vocos decoders (got {cfg.type!r})")
+    if cfg.type not in ("hifigan", "istftnet", "vocos"):
+        raise ValueError(f"unknown decoder type {cfg.type!r}")
     axis = axis or mesh.axis_names[0]
     n_dev = mesh.shape[axis]
     b, f_total, _ = asr.shape
@@ -156,8 +174,11 @@ def sp_decoder_apply(mesh: Mesh, p_dec, cfg: DecoderConfig,
     if margin > core:
         raise ValueError(f"margin {margin} > per-device frames {core}; "
                          "use fewer devices or longer input")
-    total_up = (int(np.prod(cfg.upsample_rates)) if cfg.type == "hifigan"
-                else cfg.gen_istft_hop_size)
+    total_up = {  # samples per MEL frame
+        "hifigan": int(np.prod(cfg.upsample_rates)),
+        "istftnet": int(np.prod(cfg.upsample_rates)) * cfg.gen_istft_hop_size,
+        "vocos": cfg.gen_istft_hop_size,
+    }[cfg.type]
     spa = 2 * total_up  # samples per asr frame (mel = 2x asr rate)
 
     def body(p, asr_l, f0_l, n_l, s_l, nv):
@@ -209,13 +230,59 @@ def sp_decoder_apply(mesh: Mesh, p_dec, cfg: DecoderConfig,
             seq_mask = jnp.broadcast_to(in_seq[None, :],
                                         (asr_l.shape[0], in_seq.shape[0]))
 
+        # istftnet only: replicated harmonic-source STFT (the sine phase
+        # cumsum AND the center=True replicate-padded STFT are global
+        # computations) sliced to this window, plus the window descriptor
+        # for the generator's global reflection-pad grid (see
+        # istftnet_generator_apply's seq_win docstring)
+        seq_win = None
+        if cfg.type == "istftnet":
+            n_fft = cfg.gen_istft_n_fft
+            hop = cfg.gen_istft_hop_size
+            fr = spa // hop  # last-stage frames per asr frame
+            f0_g = jax.lax.all_gather(f0_l, axis, axis=1,
+                                      tiled=True)  # (B, 2F)
+            f0_g = jnp.where(
+                jnp.arange(f0_g.shape[1])[None, :] < 2 * limit[:, None],
+                f0_g, 0.0)
+            f0_up = jnp.swapaxes(
+                OPS.interpolate_nearest(f0_g[:, None, :], total_up), 1, 2)
+            har_src, _ = DE.source_module_apply(
+                p["generator"]["m_source"], f0_up, None, total_up)
+            har_sig = jax.lax.stop_gradient(har_src[..., 0])  # (B, L)
+            sp_mag, sp_ph = OPS.stft_mag_phase(
+                har_sig, n_fft, hop, n_fft, center=True,
+                pad_mode="replicate")
+            har_g = jnp.swapaxes(jnp.concatenate([sp_mag, sp_ph], axis=1),
+                                 1, 2)  # (B, fr*F + 1, n_fft+2)
+            har_pad = jnp.pad(har_g,
+                              ((0, 0), (margin * fr, margin * fr), (0, 0)))
+            har_w = jax.lax.dynamic_slice_in_dim(
+                har_pad, idx * (core * fr),
+                (core + 2 * margin) * fr + 1, axis=1)
+            # reflection-PADDED grid coordinate of each last-stage window
+            # slot: the window covers [fr*a, fr*b + 1) where [a, b) is the
+            # haloed asr window
+            ppos = (idx * core - margin) * fr + jnp.arange(har_w.shape[1])
+            seq_win = {
+                "har": har_w,
+                "pad0": ppos == 0,
+                "grid": (ppos >= 0) & (ppos <= fr * f_total),
+                "mask_pad": jnp.where(
+                    ppos[None, :] == 0, (limit > 0)[:, None],
+                    (ppos[None, :] >= 1)
+                    & (ppos[None, :] - 1 < fr * limit[:, None])),
+            }
+
         ctx = L.SeqParCtx(axis=axis, t_base=core + 2 * margin,
-                          lo=margin, hi=margin + core)
+                          lo=margin, hi=margin + core, n_dev=n_dev)
         with L.seqpar_stats(ctx):
             wav_w = DE.decoder_apply(p, cfg, asr_w, f0_w, n_w, s_l,
                                      rng=None, train=False,
                                      frame_mask=frame_mask,
-                                     har_source=har_w, seq_mask=seq_mask)
+                                     har_source=har_w
+                                     if cfg.type == "hifigan" else None,
+                                     seq_mask=seq_mask, seq_win=seq_win)
         return wav_w[:, margin * spa: (margin + core) * spa]
 
     nv = (jnp.full((b,), f_total, jnp.int32) if n_valid is None

@@ -35,6 +35,12 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--decoder", default="hifigan",
                     choices=("hifigan", "istftnet", "vocos"))
+    ap.add_argument("--remat", action="store_true",
+                    help="tpu.remat: jax.checkpoint the decoder synthesis "
+                         "+ G-side discriminator forwards (HBM lever)")
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="tpu.grad_accum: micro-batches per optimizer "
+                         "update (batch must divide; HBM lever)")
     args = ap.parse_args()
 
     import jax
@@ -59,6 +65,7 @@ def main():
         "max_len": args.max_len,
         "batch_size": args.batch,
         "model_params": {"decoder": {"type": args.decoder}},
+        "tpu": {"remat": args.remat, "grad_accum": args.grad_accum},
     })
     params = build_model(jax.random.PRNGKey(0), cfg.model_params)
     opt = MultiOptimizer(params)
@@ -104,7 +111,10 @@ def main():
     ms_per_step = 1000.0 * wall / args.steps
     out = {
         "metric": f"train step ({args.decoder}, batch {b}, "
-                  f"max_len {t_mel})",
+                  f"max_len {t_mel}"
+                  + (", remat" if args.remat else "")
+                  + (f", accum {args.grad_accum}"
+                     if args.grad_accum > 1 else "") + ")",
         "ms_per_step": round(ms_per_step, 2),
         "steps_per_s": round(args.steps / wall, 3),
         "mel_frames_per_s": round(b * t_mel * args.steps / wall, 1),

@@ -22,6 +22,11 @@ Data parallelism: `make_parallel_train_step` shards the batch over a 1-D
 device mesh ('dp'); params/opt-states are replicated and XLA turns the
 gradient reduction into ICI all-reduces (the reference's DataParallel
 scatter/gather, train.py:24-29, redesigned as SPMD).
+
+Memory: `tpu.remat` rematerializes the decoder synthesis and the
+generator-side discriminator forwards under jax.checkpoint — the
+waveform-rate activations that dominate the G-step backward's live set
+are recomputed instead of stored (larger batch/max_len per chip).
 """
 
 from __future__ import annotations
@@ -77,12 +82,16 @@ def compute_mels(waves: jnp.ndarray, cfg: ModelConfig,
 
 def generator_forward(params: Dict[str, Any], batch: Batch, mels: jnp.ndarray,
                       rng, cfg: ModelConfig, crop_frames: int,
-                      train: bool = True, hop: int = 300):
+                      train: bool = True, hop: int = 300,
+                      remat: bool = False):
     """Shared generator-side forward (reference train.py:202-267).
 
     crop_frames: static per-bucket crop size at the half-mel rate
     (the reference's mel_len, train.py:235). hop: mel hop length in
     samples (one half-mel frame is 2*hop waveform samples).
+    remat: rematerialize the decoder synthesis under jax.checkpoint —
+    its sample-rate activations are the largest tensors of the G-step
+    backward (tpu.remat).
     Returns (y_rec, wav_crop, aux dict of intermediates for the losses)."""
     b = mels.shape[0]
     t_mel = mels.shape[-1]
@@ -151,8 +160,12 @@ def generator_forward(params: Dict[str, Any], batch: Batch, mels: jnp.ndarray,
     f0_fake, n_fake = PR.f0n_train(params["predictor"], p_en, s_crop,
                                    dropout=cfg.dropout, train=train,
                                    rng=keys[5] if train else None)
-    y_rec = DE.decoder_apply(params["decoder"], cfg.decoder, en, f0_fake,
-                             n_fake, s_crop, rng=keys[6], train=False)
+    def _synth(p_dec, en_, f0_, n_, s_, key):
+        return DE.decoder_apply(p_dec, cfg.decoder, en_, f0_, n_, s_,
+                                rng=key, train=False)
+
+    synth = jax.checkpoint(_synth) if remat else _synth
+    y_rec = synth(params["decoder"], en, f0_fake, n_fake, s_crop, keys[6])
 
     aux = {
         "s2s_pred": s2s_pred, "s2s_attn": attn_masked,
@@ -165,10 +178,16 @@ def generator_forward(params: Dict[str, Any], batch: Batch, mels: jnp.ndarray,
 
 def generator_losses(params: Dict[str, Any], batch: Batch, mels: jnp.ndarray,
                      rng, cfg: ModelConfig, lp: LossParams, crop_frames: int,
-                     train: bool = True, hop: int = 300):
-    """All generator-side losses (train.py:279-315), batched/masked."""
+                     train: bool = True, hop: int = 300,
+                     remat: bool = False):
+    """All generator-side losses (train.py:279-315), batched/masked.
+
+    remat: rematerialize the decoder synthesis AND the generator-side
+    MPD/MSD forwards (their waveform-rate feature maps are the other
+    large live set of the backward)."""
     y_rec, wav, aux = generator_forward(params, batch, mels, rng, cfg,
-                                        crop_frames, train, hop=hop)
+                                        crop_frames, train, hop=hop,
+                                        remat=remat)
     b, t_text = batch.texts.shape
     text_valid = L.length_to_valid_mask(batch.input_lengths, t_text)
 
@@ -176,7 +195,9 @@ def generator_losses(params: Dict[str, Any], batch: Batch, mels: jnp.ndarray,
     loss_norm = _smooth_l1(aux["n_real"], aux["n_fake"])
 
     loss_mel = LO.multi_resolution_stft_loss(y_rec[..., 0], wav[..., 0])
-    loss_gen = LO.generator_loss(params["mpd"], params["msd"], wav, y_rec)
+    gen_loss_fn = (jax.checkpoint(LO.generator_loss) if remat
+                   else LO.generator_loss)
+    loss_gen = gen_loss_fn(params["mpd"], params["msd"], wav, y_rec)
 
     # duration + CE losses (train.py:284-299): masked batched forms.
     dur_logits = aux["dur_logits"].astype(jnp.float32)  # (B, T, max_dur)
@@ -225,27 +246,24 @@ def generator_losses(params: Dict[str, Any], batch: Batch, mels: jnp.ndarray,
     return g_loss, (y_rec, wav, metrics)
 
 
-def make_step_pair(cfg: Config, multi_opt, crop_frames: Optional[int] = None):
-    """Build the alternating update as TWO functions (d_step, g_step).
+def make_grad_fns(cfg: Config, crop_frames: Optional[int] = None):
+    """(d_grads, g_grads): per-(micro-)batch gradient computations.
 
-    Splitting keeps each compiled executable about half the size of the
-    monolithic step — the full graph (2 generator forwards + a backward +
-    both discriminators + per-module optimizer updates) is ~30 MB of MLIR
-    and OOM-kills constrained compile services. Semantics are identical:
-    d_step updates the discriminators on detached audio, then g_step
-    computes the generator loss against the UPDATED discriminators
-    (reference train.py:272-328 ordering).
-    """
+    d_grads(params, batch, rng) -> (d_loss, grads over DISC_MODULES);
+    g_grads(params, batch, rng) -> (metrics dict incl. g_loss, grads over
+    GEN_MODULES). The same rng passed to both reproduces the identical
+    generator forward (the reference computes both losses from one
+    forward, train.py:272-328)."""
     mp = cfg.model_params
     lp = cfg.loss_params
     sp = cfg.preprocess_params.spect_params
+    remat = cfg.tpu.remat
     crop = crop_frames if crop_frames is not None else cfg.max_len // 2
     # the cropped-gt style encoder needs >= 66 mel frames (see
     # style_encoder.apply); 2*crop is the gt mel length
     assert crop * 2 >= 66, f"max_len/crop too small: gt mels {2*crop} < 66"
 
-    def d_step(params: Dict[str, Any], opt_states: Dict[str, Any],
-               batch: Batch, rng):
+    def d_grads(params: Dict[str, Any], batch: Batch, rng):
         mels = compute_mels(batch.waves, mp, sp)
         y_rec, wav, _ = generator_forward(params, batch, mels, rng, mp,
                                           crop, train=True,
@@ -257,37 +275,95 @@ def make_step_pair(cfg: Config, multi_opt, crop_frames: Optional[int] = None):
                                          wav, y_rec_d)
 
         d_params = {k: params[k] for k in DISC_MODULES}
-        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_params)
-        new_params = dict(params)
-        new_states = dict(opt_states)
-        for k in DISC_MODULES:
-            new_params[k], new_states[k] = multi_opt.step(
-                k, d_grads[k], opt_states[k], params[k])
-        return new_params, new_states, d_loss
+        return jax.value_and_grad(d_loss_fn)(d_params)
 
-    def g_step(params: Dict[str, Any], opt_states: Dict[str, Any],
-               batch: Batch, rng):
-        """params must already hold the D-updated mpd/msd. The same rng as
-        d_step reproduces the identical generator forward (the reference
-        computes both losses from one forward)."""
+    def g_grads(params: Dict[str, Any], batch: Batch, rng):
+        """params must already hold the D-updated mpd/msd."""
         mels = compute_mels(batch.waves, mp, sp)
 
         def g_loss_fn(g_params):
             full = dict(params)
             full.update(g_params)
             return generator_losses(full, batch, mels, rng, mp, lp, crop,
-                                    train=True, hop=sp.hop_length)
+                                    train=True, hop=sp.hop_length,
+                                    remat=remat)
 
         g_params = {k: params[k] for k in GEN_MODULES}
-        (g_loss, (_, _, metrics)), g_grads = jax.value_and_grad(
+        (g_loss, (_, _, metrics)), grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(g_params)
-        new_params = dict(params)
-        new_states = dict(opt_states)
-        for k in GEN_MODULES:
-            new_params[k], new_states[k] = multi_opt.step(
-                k, g_grads[k], opt_states[k], params[k])
         metrics = dict(metrics)
         metrics["g_loss"] = g_loss
+        return metrics, grads
+
+    return d_grads, g_grads
+
+
+def _accumulate(fn, params, batch: Batch, rng, accum: int):
+    """Average fn's (aux, grads) over `accum` equal micro-batches.
+
+    The batch splits on its leading axis (B must divide); micro-batch i
+    runs with the i-th split of rng — the derivation is shared by d_grads
+    and g_grads so the G-step reproduces the D-step's forwards. A
+    lax.scan keeps ONE micro-batch's activations live at a time: HBM
+    scales with B/accum, not B (jax.checkpoint's batch-axis sibling).
+    Loss normalizers that depend on the batch's max lengths (loss_mono)
+    see per-micro-batch maxima — the standard accumulation semantics."""
+    b = batch.waves.shape[0]
+    if b % accum != 0:
+        raise ValueError(f"batch {b} not divisible by grad_accum {accum}")
+    micro = jax.tree_util.tree_map(
+        lambda x: x.reshape((accum, b // accum) + x.shape[1:]), batch)
+    keys = jax.random.split(rng, accum)
+    first = jax.tree_util.tree_map(lambda x: x[0], micro)
+    shapes = jax.eval_shape(fn, params, first, keys[0])
+    zeros = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                   shapes)
+
+    def body(acc, xs):
+        mb, k = xs
+        out = fn(params, mb, k)
+        return jax.tree_util.tree_map(jnp.add, acc, out), None
+
+    total, _ = jax.lax.scan(body, zeros, (micro, keys))
+    return jax.tree_util.tree_map(lambda x: x / accum, total)
+
+
+def make_step_pair(cfg: Config, multi_opt, crop_frames: Optional[int] = None):
+    """Build the alternating update as TWO functions (d_step, g_step).
+
+    Splitting keeps each compiled executable about half the size of the
+    monolithic step — the full graph (2 generator forwards + a backward +
+    both discriminators + per-module optimizer updates) is ~30 MB of MLIR
+    and OOM-kills constrained compile services. Semantics are identical:
+    d_step updates the discriminators on detached audio, then g_step
+    computes the generator loss against the UPDATED discriminators
+    (reference train.py:272-328 ordering).
+
+    tpu.grad_accum > 1 averages each step's gradients over that many
+    micro-batches before the (single) optimizer update — with tpu.remat,
+    the two levers that fit reference-scale batches on a 16 GB chip.
+    """
+    accum = cfg.tpu.grad_accum
+    d_grads, g_grads = make_grad_fns(cfg, crop_frames)
+
+    def run(fn, params, batch, rng):
+        if accum == 1:
+            return fn(params, batch, rng)
+        return _accumulate(fn, params, batch, rng, accum)
+
+    def d_step(params: Dict[str, Any], opt_states: Dict[str, Any],
+               batch: Batch, rng):
+        d_loss, grads = run(d_grads, params, batch, rng)
+        new_params, new_states = multi_opt.step_modules(
+            DISC_MODULES, grads, opt_states, params)
+        return new_params, new_states, d_loss
+
+    def g_step(params: Dict[str, Any], opt_states: Dict[str, Any],
+               batch: Batch, rng):
+        """params must already hold the D-updated mpd/msd."""
+        metrics, grads = run(g_grads, params, batch, rng)
+        new_params, new_states = multi_opt.step_modules(
+            GEN_MODULES, grads, opt_states, params)
         return new_params, new_states, metrics
 
     return d_step, g_step

@@ -112,6 +112,56 @@ def test_sp_vocos_matches_single_device():
                                rtol=0, atol=2e-4)
 
 
+def test_sp_istftnet_matches_single_device():
+    """iSTFTNet head under SP: the replicated source STFT (center=True)
+    and the reflection-padded +1 frame grid are reproduced per window
+    (seq_win), so the 8-device waveform matches one device."""
+    mp = _small_cfg("istftnet")
+    cfg = mp.decoder
+    p_dec = DE.decoder_init(jax.random.PRNGKey(7), cfg, dim_in=512,
+                            style_dim=mp.style_dim)
+    n_dev = 8
+    mesh = make_mesh(n_dev, axis="sp")
+    margin = decoder_receptive_field(cfg)
+    f_total = n_dev * max(16, margin + 2)
+    rng = np.random.default_rng(8)
+    asr, f0, n, s = _decoder_inputs(rng, 2, f_total, style_dim=mp.style_dim)
+
+    ref = DE.decoder_apply(p_dec, cfg, asr, f0, n, s, rng=None, train=False,
+                           frame_mask=None)
+    got = sp_decoder_apply(mesh, p_dec, cfg, asr, f0, n, s, margin=margin,
+                           axis="sp")
+    ref = np.asarray(ref)
+    got = np.asarray(got)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-4)
+
+
+def test_sp_istftnet_padded_prefix_matches_masked_single_device():
+    """istftnet + n_valid: the padded-coordinate validity mask (mask_pad)
+    must reproduce the single-device prefix frame_mask semantics through
+    the reflection-padded last stage."""
+    mp = _small_cfg("istftnet")
+    cfg = mp.decoder
+    p_dec = DE.decoder_init(jax.random.PRNGKey(9), cfg, dim_in=512,
+                            style_dim=mp.style_dim)
+    n_dev = 8
+    mesh = make_mesh(n_dev, axis="sp")
+    margin = decoder_receptive_field(cfg)
+    f_total = n_dev * max(16, margin + 2)
+    rng = np.random.default_rng(10)
+    asr, f0, n, s = _decoder_inputs(rng, 2, f_total, style_dim=mp.style_dim)
+    nv = np.array([f_total - f_total // 3, f_total], np.int32)
+    frame_mask = jnp.arange(f_total)[None, :] < jnp.asarray(nv)[:, None]
+
+    ref = DE.decoder_apply(p_dec, cfg, asr, f0, n, s, rng=None, train=False,
+                           frame_mask=frame_mask)
+    got = sp_decoder_apply(mesh, p_dec, cfg, asr, f0, n, s, margin=margin,
+                           axis="sp", n_valid=nv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=2e-4)
+
+
 def test_sp_decoder_padded_prefix_matches_masked_single_device():
     """n_valid (padded static bucket) == single-device prefix frame_mask:
     the engine's bucketed phase-2 contract, frame-sharded."""
@@ -152,9 +202,8 @@ def test_sp_decoder_validates_inputs():
                          n[:, :200], s)
     with pytest.raises(ValueError, match="receptive field"):
         sp_decoder_apply(mesh, p_dec, cfg, asr, f0, n, s, margin=2)
-    with pytest.raises(ValueError, match="hifigan"):
-        bad = _small_cfg("istftnet").decoder
-        sp_decoder_apply(mesh, p_dec, bad, asr, f0, n, s)
+    with pytest.raises(ValueError, match="per-device frames"):
+        sp_decoder_apply(mesh, p_dec, cfg, asr, f0, n, s, margin=40)
 
 
 def test_engine_seq_parallel_matches_single_chip(monkeypatch):

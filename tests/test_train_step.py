@@ -70,3 +70,209 @@ def test_eval_step_finite(setup):
     ev = jax.jit(eval_step_fn(cfg))
     m = ev(params, batch, jax.random.PRNGKey(3))
     assert all(np.isfinite(float(v)) for v in m.values())
+
+
+def test_remat_step_matches_baseline():
+    """tpu.remat=True wraps the decoder synthesis and the generator-side
+    discriminator forwards in jax.checkpoint — recompute-in-backward must
+    not change the math: same metrics and same updated params as the
+    default step on a tiny model."""
+    base = {
+        "max_len": 80,  # 40-frame crops (gt mels 80 >= 66 minimum)
+        # tiny 60x decoder pairs with hop 60 (prod(rates) == hop invariant)
+        "preprocess_params": {"spect_params": {"n_fft": 512,
+                                               "win_length": 240,
+                                               "hop_length": 60}},
+        "model_params": {
+            "hidden_dim": 64, "max_conv_dim": 64, "dim_in": 16,
+            "style_dim": 32, "max_dur": 10,
+            "ASR_params": {"hidden_dim": 64, "n_layers": 2},
+            "decoder": {"type": "hifigan",
+                        "upsample_initial_channel": 512,
+                        "upsample_rates": [10, 6],
+                        "upsample_kernel_sizes": [20, 12],
+                        "resblock_kernel_sizes": [3],
+                        "resblock_dilation_sizes": [[1, 3]]},
+        },
+        "debug": False,
+    }
+    cfg0 = load_config(dict(base))
+    cfg1 = load_config({**base, "tpu": {"remat": True}})
+    assert not cfg0.tpu.remat and cfg1.tpu.remat
+
+    params = build_model(jax.random.PRNGKey(0), cfg0.model_params)
+    opt = MultiOptimizer(params)
+    states = opt.init(params)
+    b, t_text, t_mel = 2, 10, 100
+    rng = np.random.default_rng(5)
+    batch = Batch(
+        waves=jnp.asarray(rng.standard_normal((b, t_mel * 60))
+                          .astype("float32") * 0.1),
+        texts=jnp.asarray(rng.integers(4, 170, (b, t_text)).astype("int32")),
+        input_lengths=jnp.asarray([t_text, t_text - 2], jnp.int32),
+        mel_lengths=jnp.asarray([t_mel, t_mel - 8], jnp.int32),
+    )
+    key = jax.random.PRNGKey(11)
+
+    # Compare GRADIENTS, not post-AdamW params: with betas (0, 0.99) the
+    # first-step update is ~lr*sign(g), which amplifies recompute float-
+    # reassociation noise on near-zero-gradient elements into O(lr) param
+    # wobble. The math contract is on the grads.
+    from styletts2_tpu.train import make_grad_fns
+
+    d0, g0 = make_grad_fns(cfg0)
+    d1, g1 = make_grad_fns(cfg1)
+    dl0, dg0 = jax.jit(d0)(params, batch, key)
+    dl1, dg1 = jax.jit(d1)(params, batch, key)
+    m0, gg0 = jax.jit(g0)(params, batch, key)
+    m1, gg1 = jax.jit(g1)(params, batch, key)
+
+    np.testing.assert_allclose(float(dl0), float(dl1), rtol=1e-5)
+    for k in sorted(m0):
+        np.testing.assert_allclose(float(m0[k]), float(m1[k]), rtol=2e-4,
+                                   atol=1e-6, err_msg=f"metric {k}")
+
+    def assert_leaves_close(t0, t1, what):
+        # Tolerance is scaled per MODULE, not per leaf: a leaf whose true
+        # gradient is ~0 (e.g. a head untouched by a loss term) carries
+        # recompute noise propagated from module-scale activations, so a
+        # per-leaf scale bottoms out below float32 rounding noise.
+        mod_scale = max((float(np.abs(np.asarray(x)).max())
+                         for x in jax.tree_util.tree_leaves(t0)),
+                        default=0.0)
+        for a, c in zip(jax.tree_util.tree_leaves(t0),
+                        jax.tree_util.tree_leaves(t1)):
+            a, c = np.asarray(a), np.asarray(c)
+            atol = max(5e-4 * float(np.abs(a).max()),
+                       5e-6 * mod_scale, 2e-8)
+            np.testing.assert_allclose(a, c, rtol=0, atol=atol,
+                                       err_msg=what)
+
+    for mod in DISC_MODULES:
+        assert_leaves_close(dg0[mod], dg1[mod], f"d-grads {mod}")
+    for mod in GEN_MODULES:
+        assert_leaves_close(gg0[mod], gg1[mod], f"g-grads {mod}")
+
+
+def test_grad_accum_step_matches_manual_mean():
+    """tpu.grad_accum=2: the accumulated gradients must equal the MEAN of
+    the two micro-batch gradients (computed directly via make_grad_fns
+    with the same rng split), and one full step must apply that mean —
+    validating the scan accumulation, the micro-batch key threading, and
+    the D->G ordering.
+
+    Gradient comparison uses a module-scale tolerance; params are
+    compared only where the mean gradient is well above accumulation
+    noise — with betas (0, .99) the first-step AdamW update is
+    ~lr*sign(g), so noise-level gradient elements flip sign between the
+    scan-accumulated and manually-averaged reductions and wobble by
+    2*lr, which says nothing about correctness."""
+    from styletts2_tpu.train import _accumulate, make_grad_fns
+
+    base = {
+        "max_len": 80,
+        "batch_size": 4,
+        "preprocess_params": {"spect_params": {"n_fft": 512,
+                                               "win_length": 240,
+                                               "hop_length": 60}},
+        "model_params": {
+            "hidden_dim": 64, "max_conv_dim": 64, "dim_in": 16,
+            "style_dim": 32, "max_dur": 10,
+            "ASR_params": {"hidden_dim": 64, "n_layers": 2},
+            "decoder": {"type": "hifigan",
+                        "upsample_initial_channel": 512,
+                        "upsample_rates": [10, 6],
+                        "upsample_kernel_sizes": [20, 12],
+                        "resblock_kernel_sizes": [3],
+                        "resblock_dilation_sizes": [[1, 3]]},
+        },
+        "tpu": {"grad_accum": 2},
+        "debug": False,
+    }
+    cfg = load_config(base)
+    params = build_model(jax.random.PRNGKey(2), cfg.model_params)
+    opt = MultiOptimizer(params)
+    states = opt.init(params)
+    b, t_text, t_mel = 4, 10, 100
+    rng = np.random.default_rng(6)
+    batch = Batch(
+        waves=jnp.asarray(rng.standard_normal((b, t_mel * 60))
+                          .astype("float32") * 0.1),
+        texts=jnp.asarray(rng.integers(4, 170, (b, t_text)).astype("int32")),
+        input_lengths=jnp.asarray([t_text, t_text - 2, t_text - 1, t_text],
+                                  jnp.int32),
+        mel_lengths=jnp.asarray([t_mel, t_mel - 8, t_mel - 4, t_mel - 2],
+                                jnp.int32),
+    )
+    key = jax.random.PRNGKey(21)
+
+    # --- manual reference: two half-batches, averaged grads, one update ---
+    d_grads_fn, g_grads_fn = make_grad_fns(cfg)
+    keys = jax.random.split(key, 2)
+    halves = [jax.tree_util.tree_map(lambda x: x[:2], batch),
+              jax.tree_util.tree_map(lambda x: x[2:], batch)]
+    d_jit = jax.jit(d_grads_fn)
+    outs = [d_jit(params, h, k) for h, k in zip(halves, keys)]
+    mean_dg = jax.tree_util.tree_map(lambda a, c: (a + c) / 2,
+                                     outs[0][1], outs[1][1])
+    exp_d_loss = (float(outs[0][0]) + float(outs[1][0])) / 2
+    p_mid, s_mid = opt.step_modules(DISC_MODULES, mean_dg, states, params)
+
+    g_jit = jax.jit(g_grads_fn)
+    gouts = [g_jit(p_mid, h, k) for h, k in zip(halves, keys)]
+    mean_gg = jax.tree_util.tree_map(lambda a, c: (a + c) / 2,
+                                     gouts[0][1], gouts[1][1])
+    p_exp, _ = opt.step_modules(GEN_MODULES, mean_gg, s_mid, p_mid)
+
+    # --- the accumulated gradients (the scan under test, run directly) ---
+    acc_d = jax.jit(lambda p, bt, k: _accumulate(d_grads_fn, p, bt, k, 2))(
+        params, batch, key)
+    acc_g = jax.jit(lambda p, bt, k: _accumulate(g_grads_fn, p, bt, k, 2))(
+        p_mid, batch, key)
+    np.testing.assert_allclose(float(acc_d[0]), exp_d_loss, rtol=1e-5)
+
+    def assert_grads_close(t0, t1, what):
+        mod_scale = max((float(np.abs(np.asarray(x)).max())
+                         for x in jax.tree_util.tree_leaves(t0)),
+                        default=0.0)
+        for a, c in zip(jax.tree_util.tree_leaves(t0),
+                        jax.tree_util.tree_leaves(t1)):
+            a, c = np.asarray(a), np.asarray(c)
+            atol = max(5e-4 * float(np.abs(a).max()),
+                       2e-6 * mod_scale, 2e-8)
+            np.testing.assert_allclose(a, c, rtol=0, atol=atol,
+                                       err_msg=what)
+
+    for mod in DISC_MODULES:
+        assert_grads_close(mean_dg[mod], acc_d[1][mod], f"d-grads {mod}")
+    for mod in GEN_MODULES:
+        assert_grads_close(mean_gg[mod], acc_g[1][mod], f"g-grads {mod}")
+
+    # --- the full accumulated step ---
+    p_got, _, metrics = jax.jit(make_train_step(cfg, opt))(params, states,
+                                                           batch, key)
+    np.testing.assert_allclose(float(metrics["d_loss"]), exp_d_loss,
+                               rtol=1e-5)
+    exp_g_loss = (float(gouts[0][0]["g_loss"])
+                  + float(gouts[1][0]["g_loss"])) / 2
+    np.testing.assert_allclose(float(metrics["g_loss"]), exp_g_loss,
+                               rtol=1e-5)
+    # params where the mean gradient is decisively nonzero (sign-stable):
+    # the AdamW update from equal grads is deterministic, so these match
+    # tightly; also require that every updated module actually moved
+    mean_grads = {**mean_dg, **mean_gg}
+    for mod in GEN_MODULES + DISC_MODULES:
+        gs = max(float(np.abs(np.asarray(x)).max())
+                 for x in jax.tree_util.tree_leaves(mean_grads[mod]))
+        moved = False
+        for a, c, g, p0 in zip(jax.tree_util.tree_leaves(p_got[mod]),
+                               jax.tree_util.tree_leaves(p_exp[mod]),
+                               jax.tree_util.tree_leaves(mean_grads[mod]),
+                               jax.tree_util.tree_leaves(params[mod])):
+            a, c, g = np.asarray(a), np.asarray(c), np.asarray(g)
+            stable = np.abs(g) > 1e-4 * gs
+            np.testing.assert_allclose(a[stable], c[stable],
+                                       rtol=1e-5, atol=1e-7,
+                                       err_msg=f"params {mod}")
+            moved = moved or bool((a != np.asarray(p0)).any())
+        assert moved, f"module {mod} was not updated"
