@@ -521,6 +521,94 @@ class _Exporter:
         wav = b.binop("Sub", wav_r, wav_i)
         return b.slice(wav, [n_fft // 2], [-(n_fft // 2)], [2])
 
+    def vocos(self, x: str) -> str:
+        """Vocos generator (nn/vocos.py:65-92; reference Modules/vocos.py:
+        27-69, 108-162, 190-296): ConvNeXt stack at constant mel-rate
+        resolution + iSTFT head with window-envelope division. The irfft
+        symmetry (bins 1..N-1 doubled) and the hann window fold into the
+        ConvTranspose iDFT bases; the window envelope is the same
+        stride-hop ConvTranspose applied to ones with a w^2 kernel.
+        Beyond the reference: its ONNX stack exports only hifigan/istftnet
+        (inference_onnx.py:130)."""
+        from styletts2_tpu.ops.stft import _idft_bases, hann_window
+
+        b = self.b
+        g = self.p["decoder"]["generator"]
+        cfg = self.cfg.model_params.decoder
+        n_fft, hop = cfg.gen_istft_n_fft, cfg.gen_istft_hop_size
+        bins = n_fft // 2 + 1
+        dim = 512  # the decoder shell's fixed output width
+                   # (vocos_generator_init's dim default, nn/decoder.py:322)
+
+        for i in range(cfg.num_layers):
+            blk = g["convnext"][str(i)]
+            pre = f"decoder.generator.convnext.{i}"
+            h = self.conv(x, blk["dwconv"], pre + ".dwconv", pad=3,
+                          groups=dim)
+            h = self.adain(h, blk["norm"], pre + ".norm", dim)
+            ht = b.transpose(h, (0, 2, 1))  # [1, T, C]
+            ht = self.matmul_linear(ht, blk["pwconv1"], pre + ".pwconv1")
+            # exact GELU (jax.nn.gelu approximate=False; torch default):
+            # 0.5 * x * (1 + erf(x / sqrt(2)))
+            erf = b.add("Erf", [b.mul_const(ht, 1.0 / math.sqrt(2.0))])
+            ht = b.binop("Mul", ht,
+                         b.mul_const(b.add_const(erf, 1.0), 0.5))
+            ht = self.matmul_linear(ht, blk["pwconv2"], pre + ".pwconv2")
+            ht = b.binop("Mul", ht, b.init(pre + ".gamma",
+                                           _np(blk["gamma"])))
+            x = b.add("Add", [x, b.transpose(ht, (0, 2, 1))])
+
+        fl = g["final_layer_norm"]
+        xt = b.transpose(x, (0, 2, 1))
+        xt = b.add("LayerNormalization",
+                   [xt,
+                    b.init("decoder.generator.final_ln.gamma",
+                           _np(fl["weight"])),
+                    b.init("decoder.generator.final_ln.beta",
+                           _np(fl["bias"]))],
+                   epsilon=1e-6)
+        h = self.matmul_linear(xt, g["stft"]["out"],
+                               "decoder.generator.stft.out")  # [1,T,nfft+2]
+        mag = b.slice(h, [0], [bins], [2])
+        ph = b.slice(h, [bins], [2 * bins], [2])
+        mag = b.add("Clip", [b.add("Exp", [mag]), "",
+                             b.f32(np.float32(1e2), "mag_max")])
+        real = b.transpose(b.binop("Mul", mag, b.add("Cos", [ph])),
+                           (0, 2, 1))  # [1, bins, T]
+        imag = b.transpose(b.binop("Mul", mag, b.add("Sin", [ph])),
+                           (0, 2, 1))
+        icos, isin = _idft_bases(n_fft, n_fft, scale=True,
+                                 center_window=False)
+        kk = np.arange(bins)[:, None]
+        if n_fft % 2 == 0:
+            freq_scale = np.where((kk > 0) & (kk < bins - 1), 2.0, 1.0)
+        else:
+            freq_scale = np.where(kk > 0, 2.0, 1.0)
+        freq_scale = freq_scale.astype(np.float32)
+        wi_cos = b.init("vocos_istft.cos", np.ascontiguousarray(
+            (icos * freq_scale).reshape(bins, 1, n_fft)))
+        wi_sin = b.init("vocos_istft.sin", np.ascontiguousarray(
+            (isin * freq_scale).reshape(bins, 1, n_fft)))
+        wav = b.binop("Sub",
+                      b.add("ConvTranspose", [real, wi_cos], strides=[hop]),
+                      b.add("ConvTranspose", [imag, wi_sin], strides=[hop]))
+        # window envelope: OLA of w^2 over the same frame grid
+        w = hann_window(n_fft)
+        t_vec = b.slice(b.add("Shape", [real]), [2], [3], [0])
+        ones_shape = b.concat([b.i64([1], "one1"), b.i64([1], "one1"),
+                               t_vec], axis=0)
+        ones = b.add("Expand", [b.f32(np.ones((1, 1, 1), np.float32),
+                                      "onef"), ones_shape])
+        env = b.add("ConvTranspose",
+                    [ones, b.init("vocos_istft.env_kernel",
+                                  (w * w).reshape(1, 1, n_fft))],
+                    strides=[hop])
+        wav = b.binop("Div", wav,
+                      b.add("Max", [env, b.f32(np.float32(1e-11),
+                                               "env_eps")]))
+        pad = (n_fft - hop) // 2
+        return b.slice(wav, [pad], [-pad], [2]) if pad > 0 else wav
+
     def decoder(self, asr: str, f0_2l: str, n_2l: str,
                 mel_len_vec: str) -> str:
         """Decoder shell (nn/decoder.py:328-388) -> wav [1, 1, Lw]."""
@@ -544,8 +632,11 @@ class _Exporter:
                                      upsample=up)
             if up:
                 res = False
-        if self.cfg.model_params.decoder.type == "istftnet":
+        dec_type = self.cfg.model_params.decoder.type
+        if dec_type == "istftnet":
             return self.istftnet(x, f0_2l, mel_len_vec)
+        if dec_type == "vocos":
+            return self.vocos(x)
         return self.hifigan(x, f0_2l, mel_len_vec)
 
     # -- whole model -------------------------------------------------------
@@ -553,11 +644,10 @@ class _Exporter:
     def export(self) -> bytes:
         b = self.b
         cfg = self.cfg
-        if cfg.model_params.decoder.type not in ("hifigan", "istftnet"):
+        if cfg.model_params.decoder.type not in ("hifigan", "istftnet",
+                                                 "vocos"):
             raise NotImplementedError(
-                "ONNX export covers hifigan and istftnet — the same two "
-                "decoders the reference exports (inference_onnx.py:130; "
-                "vocos is not exported there either)")
+                f"unknown decoder type {cfg.model_params.decoder.type!r}")
         b.add_input("tokens", P.INT64, ["num_token"])
         b.add_input("style", P.FLOAT, [1, self.style_dim])
         b.add_input("speed", P.FLOAT, [])

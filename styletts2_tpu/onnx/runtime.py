@@ -169,6 +169,14 @@ def _tanh(ins, a):
     return np.tanh(ins[0])
 
 
+@op("Erf")
+def _erf(ins, a):
+    from scipy.special import erf  # scipy is a core dependency
+
+    x = ins[0]
+    return erf(x).astype(x.dtype)
+
+
 @op("Sigmoid")
 def _sigmoid(ins, a):
     x = ins[0]
@@ -411,27 +419,40 @@ def _conv_transpose(ins, a):
     (outpad,) = a.get("output_padding", [0])
     bsz, cin, t = x.shape
     cin_w, cout_g, k = w.shape
-    # zero-stuff then correlate with the flipped kernel (transposed conv
-    # identity); pad (k-1-p) each side + output_padding on the right
-    t_up = (t - 1) * stride + 1
-    xu = np.zeros((bsz, cin, t_up), np.float32)
-    xu[:, :, ::stride] = x
-    wf = w[:, :, ::-1]  # flip taps
-    # per group: out[o] = sum_i xu[i] * wf[i, o]
     cpg_in = cin // group
-    pl, pr = k - 1 - pads[0], k - 1 - pads[1] + outpad
-    xp = np.pad(xu, ((0, 0), (0, 0), (pl, pr)))
-    t_out = xp.shape[2] - k + 1
-    idx = np.arange(t_out)[:, None] + np.arange(k)[None, :]
-    cols = xp[:, :, idx]  # (B, C_in, t_out, k)
-    out = np.empty((bsz, group * cout_g, t_out), np.float32)
+    cout = group * cout_g
+    # frames[b, t, o, :] = sum_i x[b, i, t] * w[i, o, :], overlap-added at
+    # `stride` — same math as zero-stuff+correlate, WITHOUT materializing a
+    # (t_out, k) im2col (the vocos iSTFT's 1200-tap stride-300 kernel made
+    # that ~100 GB; this is one BLAS matmul + a k/stride-chunk OLA)
+    frames = np.empty((bsz, t, cout, k), np.float32)
     for g in range(group):
-        xg = cols[:, g * cpg_in:(g + 1) * cpg_in]
-        wg = wf[g * cpg_in:(g + 1) * cpg_in]  # (cpg_in, cout_g, k)
-        out[:, g * cout_g:(g + 1) * cout_g] = np.einsum(
-            "bctk,cok->bot", xg, wg, optimize=True)
+        xg = x[:, g * cpg_in:(g + 1) * cpg_in]   # (B, cin_g, T)
+        wg = w[g * cpg_in:(g + 1) * cpg_in]      # (cin_g, cout_g, k)
+        frames[:, :, g * cout_g:(g + 1) * cout_g] = np.einsum(
+            "bct,cok->btok", xg, wg, optimize=True)
+    full_len = (t - 1) * stride + k
+    if k % stride == 0:
+        q = k // stride
+        chunks = frames.transpose(0, 2, 1, 3).reshape(bsz, cout, t, q,
+                                                      stride)
+        buf = np.zeros((bsz, cout, t + q - 1, stride), np.float32)
+        for c in range(q):
+            buf[:, :, c:c + t] += chunks[:, :, :, c]
+        full = buf.reshape(bsz, cout, full_len)
+    else:
+        full = np.zeros((bsz, cout, full_len), np.float32)
+        idx = np.arange(t)[:, None] * stride + np.arange(k)[None, :]
+        np.add.at(full, (slice(None), slice(None), idx),
+                  frames.transpose(0, 2, 1, 3))
+    # output_padding extends the output INTO the overlap-add tail that
+    # pads[1] would have cropped (zeros only past the last real sample)
+    end = full_len - pads[1] + outpad
+    out = full[:, :, pads[0]: min(end, full_len)]
+    if end > full_len:
+        out = np.pad(out, ((0, 0), (0, 0), (0, end - full_len)))
     if b is not None:
-        out += b[None, :, None]
+        out = out + b[None, :, None]
     return out
 
 

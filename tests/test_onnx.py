@@ -293,6 +293,31 @@ def test_onnx_matches_jax_forward_istftnet():
     np.testing.assert_allclose(got / scale, want / scale, atol=5e-3)
 
 
+def test_onnx_matches_jax_forward_vocos():
+    """Same e2e parity for the vocos decoder (ConvNeXt stack + iSTFT head
+    with window-envelope division) — beyond the reference, whose ONNX
+    stack exports only hifigan/istftnet (inference_onnx.py:130)."""
+    cfg_dict = {k: dict(v) if isinstance(v, dict) else v
+                for k, v in SMALL_CFG["model_params"].items()}
+    cfg_dict["decoder"] = {"type": "vocos", "num_layers": 3}
+    cfg = load_config({"model_params": cfg_dict})
+    params = build_model(jax.random.PRNGKey(5), cfg.model_params)
+    params = {k: jax.tree.map(np.asarray, params[k])
+              for k in ("text_encoder", "predictor", "decoder")}
+
+    rng = np.random.default_rng(11)
+    tokens = rng.integers(1, 40, 16).astype(np.int64)
+    style = rng.standard_normal((1, 32)).astype(np.float32)
+
+    want, _ = _jax_forward(params, cfg, tokens, style, 1.0)
+    data = export_onnx(params, cfg)
+    got = OnnxModel(data).run({"tokens": tokens, "style": style,
+                               "speed": np.float32(1.0)})[0]
+    assert got.shape == want.shape, (got.shape, want.shape)
+    scale = np.abs(want).max() + 1e-6
+    np.testing.assert_allclose(got / scale, want / scale, atol=5e-3)
+
+
 def test_onnx_speed_scales_duration(small_model):
     params, cfg = small_model
     rng = np.random.default_rng(8)
