@@ -190,15 +190,86 @@ def probe_flac_info(path: str) -> Tuple[int, int]:
     return total, sr
 
 
+_NATIVE_LIB = None  # lazily compiled; False = unavailable
+
+
+def _native_lib():
+    """ctypes binding to native/flac_decode.cpp (compiled on demand with
+    g++ — same pattern as ops/align._native_lib). Returns None when
+    compilation is unavailable; decode falls back to pure python."""
+    global _NATIVE_LIB
+    if _NATIVE_LIB is not None:
+        return _NATIVE_LIB or None
+    import ctypes
+    import os
+    import subprocess
+
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        src = os.path.join(here, "native", "flac_decode.cpp")
+        build_dir = os.path.join(here, "native", "_build")
+        os.makedirs(build_dir, exist_ok=True)
+        so_path = os.path.join(build_dir, "libflac_decode.so")
+        if (not os.path.exists(so_path)
+                or os.path.getmtime(so_path) < os.path.getmtime(src)):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", so_path, src],
+                check=True)
+        lib = ctypes.CDLL(so_path)
+        lib.flac_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.flac_decode.restype = ctypes.c_int64
+    except Exception:
+        _NATIVE_LIB = False
+        return None
+    _NATIVE_LIB = lib
+    return lib
+
+
+def _read_flac_native(data: bytes) -> Optional[Tuple[np.ndarray, int]]:
+    """Decode via the C++ kernel; None -> caller uses the python path.
+    Needs a nonzero STREAMINFO total (the output buffer's size)."""
+    import ctypes
+    import os
+
+    if os.environ.get("STYLETTS2_TPU_NO_NATIVE_FLAC") == "1":
+        return None
+    lib = _native_lib()
+    if lib is None or len(data) < 42:
+        return None
+    si = _BitReader(data, 8)
+    si.read(16); si.read(16); si.read(24); si.read(24); si.read(20)
+    si.read(3); si.read(5)
+    total = si.read(36)
+    if total == 0:
+        return None  # unknown length: python path grows its buffer
+    out = np.empty(total, np.float32)
+    sr = ctypes.c_int32(0)
+    got = lib.flac_decode(
+        data, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        total, ctypes.byref(sr))
+    if got < 0:
+        return None  # malformed/unsupported: let python raise its error
+    return out[:got], int(sr.value)
+
+
 def read_flac(path: str) -> Tuple[np.ndarray, int]:
     """Decode a FLAC file -> (float32 mono samples in [-1, 1], sample rate).
 
     Multi-channel audio returns the FIRST channel (matching read_wav and
-    the reference's meldataset.py:104-105 mono policy)."""
+    the reference's meldataset.py:104-105 mono policy). Decodes through
+    native/flac_decode.cpp when g++ is available (the corpus-read hot
+    path), falling back to the pure-python bitstream decoder below."""
     with open(path, "rb") as f:
         data = f.read()
     if data[:4] != b"fLaC":
         raise ValueError(f"{path}: not a FLAC file")
+    native = _read_flac_native(data)
+    if native is not None:
+        return native
 
     # metadata blocks
     pos = 4

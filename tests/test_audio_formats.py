@@ -89,3 +89,43 @@ def test_dataset_reads_flac(tmp_path, sig):
     wave, tokens, path = ds[0]
     assert len(wave) == len(sig) + 24000  # 0.5 s pads both ends
     assert path == "x.flac"
+
+
+@pytest.mark.parametrize("subframe", ["constant", "verbatim", "fixed2",
+                                      "lpc2"])
+def test_flac_native_matches_python(tmp_path, subframe, monkeypatch):
+    """The C++ decoder (native/flac_decode.cpp) must be bit-exact with the
+    pure-python bitstream decoder on every subframe type the in-repo
+    encoder emits (constant / verbatim / fixed / LPC + Rice residuals)."""
+    if subframe == "constant":
+        wav = np.full(9000, -0.125, np.float32)
+    else:
+        t = np.arange(9000) / 24000.0
+        rng = np.random.default_rng(3)
+        wav = (0.4 * np.sin(2 * np.pi * 180 * t)
+               + 0.05 * rng.standard_normal(9000)).astype(np.float32)
+    p = str(tmp_path / f"{subframe}.flac")
+    FL.write_flac(p, wav, subframe=subframe)
+
+    native = FL._read_flac_native(open(p, "rb").read())
+    if native is None:
+        pytest.skip("native FLAC decoder unavailable (no g++)")
+    monkeypatch.setenv("STYLETTS2_TPU_NO_NATIVE_FLAC", "1")
+    py, sr_py = FL.read_flac(p)
+    got, sr = native
+    assert sr == sr_py == 24000
+    assert got.dtype == np.float32 and got.shape == py.shape
+    np.testing.assert_array_equal(got, py)
+
+
+def test_flac_native_routed_by_default(tmp_path, sig, monkeypatch):
+    """read_flac routes through the native decoder when it compiles (and
+    still matches the python path end to end)."""
+    p = str(tmp_path / "routed.flac")
+    FL.write_flac(p, sig, subframe="lpc2")
+    if FL._native_lib() is None:
+        pytest.skip("native FLAC decoder unavailable (no g++)")
+    via_native, _ = FL.read_flac(p)
+    monkeypatch.setenv("STYLETTS2_TPU_NO_NATIVE_FLAC", "1")
+    via_py, _ = FL.read_flac(p)
+    np.testing.assert_array_equal(via_native, via_py)
