@@ -46,6 +46,7 @@ QUICK_MODULES = {
     "test_text", "test_config", "test_align", "test_stft", "test_layers",
     "test_data", "test_tools", "test_audio_formats", "test_denoise",
     "test_quick_e2e", "test_golden_fixtures", "test_tb_events",
+    "test_serve_http",
 }
 SLOW_MODULES = {
     "test_train_step", "test_parallel", "test_composed_parity",
