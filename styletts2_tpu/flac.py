@@ -474,3 +474,66 @@ def write_flac(path: str, wav: np.ndarray, sr: int = 24000,
 
     with open(path, "wb") as f:
         f.write(bytes(out))
+
+
+_STEREO_CH_CODES = {"independent": 1, "left_side": 8, "right_side": 9,
+                    "mid_side": 10}
+
+
+def write_flac_stereo(path: str, left: np.ndarray, right: np.ndarray,
+                      sr: int = 24000, mode: str = "left_side") -> None:
+    """Test-fixture STEREO encoder (verbatim subframes only): exercises
+    the decoders' channel-decorrelation paths — independent 2-channel,
+    left/side, right/side, mid/side (the side subframe carries bps+1
+    bits). Decoding returns the FIRST channel == `left` for every mode."""
+    ch_code = _STEREO_CH_CODES[mode]
+    l = (np.clip(np.asarray(left, np.float64), -1.0, 1.0)
+         * 32767.0).astype(np.int64)
+    r = (np.clip(np.asarray(right, np.float64), -1.0, 1.0)
+         * 32767.0).astype(np.int64)
+    assert len(l) == len(r)
+    bps, blocksize = 16, 4096
+
+    out = bytearray(b"fLaC")
+    si = _BitWriter()
+    si.write(blocksize, 16); si.write(blocksize, 16)
+    si.write(0, 24); si.write(0, 24)
+    si.write(sr, 20); si.write(1, 3); si.write(bps - 1, 5)  # 2 channels
+    si.write(len(l) & ((1 << 36) - 1), 36)
+    body = si.tobytes() + b"\x00" * 16
+    out += bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+    for fi in range(0, max(len(l), 1), blocksize):
+        bl, br_ = l[fi: fi + blocksize], r[fi: fi + blocksize]
+        n = len(bl)
+        bw = _BitWriter()
+        bw.write(0b11111111111110, 14)
+        bw.write(0, 1); bw.write(0, 1)
+        bw.write(7, 4)
+        bw.write(7, 4)
+        bw.write(ch_code, 4)
+        bw.write(4, 3)
+        bw.write(0, 1)
+        bw.write(fi // blocksize, 8)
+        bw.write(n - 1, 16)
+        bw.write(0, 8)
+
+        if mode == "independent":
+            subs = [(bl, bps), (br_, bps)]
+        elif mode == "left_side":
+            subs = [(bl, bps), (bl - br_, bps + 1)]
+        elif mode == "right_side":
+            subs = [(bl - br_, bps + 1), (br_, bps)]
+        else:  # mid_side
+            subs = [((bl + br_) >> 1, bps), (bl - br_, bps + 1)]
+        for vals, nb in subs:
+            bw.write(0, 1)
+            bw.write(1, 6); bw.write(0, 1)  # verbatim
+            for v in vals:
+                bw.write_signed(int(v), nb)
+        bw.align()
+        bw.write(0, 16)
+        out += bw.tobytes()
+
+    with open(path, "wb") as f:
+        f.write(bytes(out))

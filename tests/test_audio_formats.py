@@ -129,3 +129,33 @@ def test_flac_native_routed_by_default(tmp_path, sig, monkeypatch):
     monkeypatch.setenv("STYLETTS2_TPU_NO_NATIVE_FLAC", "1")
     via_py, _ = FL.read_flac(p)
     np.testing.assert_array_equal(via_native, via_py)
+
+
+@pytest.mark.parametrize("mode", ["independent", "left_side", "right_side",
+                                  "mid_side"])
+def test_flac_stereo_decorrelation(tmp_path, mode, monkeypatch):
+    """Stereo channel-decorrelation paths (independent / left-side /
+    right-side / mid-side): first channel out == left, python and native
+    decoders bit-exact."""
+    rng = np.random.default_rng(7)
+    t = np.arange(6000) / 24000.0
+    left = (0.4 * np.sin(2 * np.pi * 200 * t)
+            + 0.02 * rng.standard_normal(6000)).astype(np.float32)
+    right = (0.3 * np.sin(2 * np.pi * 330 * t)
+             + 0.02 * rng.standard_normal(6000)).astype(np.float32)
+    p = str(tmp_path / f"{mode}.flac")
+    FL.write_flac_stereo(p, left, right, mode=mode)
+
+    native = FL._read_flac_native(open(p, "rb").read())
+    monkeypatch.setenv("STYLETTS2_TPU_NO_NATIVE_FLAC", "1")
+    py, sr = FL.read_flac(p)
+    assert sr == 24000
+    # the fixture encoder TRUNCATES: (pcm * 32767).astype(int64)
+    want = np.trunc(np.clip(left, -1, 1).astype(np.float64)
+                    * 32767).astype(np.float32) / 32768.0
+    np.testing.assert_allclose(py, want, atol=1e-6)
+    if native is None:
+        pytest.skip("native FLAC decoder unavailable (no g++)")
+    got, sr_n = native
+    assert sr_n == 24000
+    np.testing.assert_array_equal(got, py)
