@@ -70,6 +70,78 @@ def module_to_tree(torch_module) -> Dict[str, Any]:
     return state_dict_to_tree(torch_module.state_dict())
 
 
+def tree_to_state_dict(tree: Mapping[str, Any],
+                       new_style_weight_norm: bool = False
+                       ) -> Dict[str, np.ndarray]:
+    """Reverse of state_dict_to_tree: nested param tree -> flat torch-style
+    state_dict (numpy values; caller wraps in torch tensors).
+
+    new_style_weight_norm re-emits weight_g/weight_v as
+    '<mod>.parametrizations.weight.original{0,1}' — the key format the
+    reference's vocos decoder uses (torch parametrizations API, reference
+    vocos.py:10); hifigan/istftnet and everything else use the old-style
+    keys. BatchNorm 'num_batches_tracked' buffers (dropped on import) are
+    re-synthesized as 0 wherever running stats are present, so the
+    reference's strict load_state_dict accepts the result."""
+    flat: Dict[str, np.ndarray] = {}
+
+    def rec(node, parts):
+        if isinstance(node, Mapping):
+            for k, v in node.items():
+                rec(v, parts + [k])
+            if ("running_mean" in node and "running_var" in node
+                    and "num_batches_tracked" not in node):
+                flat[".".join(parts + ["num_batches_tracked"])] = \
+                    np.asarray(0, np.int64)
+        else:
+            leaf = parts[-1]
+            if new_style_weight_norm and leaf in ("weight_g", "weight_v"):
+                orig = {"weight_g": "original0",
+                        "weight_v": "original1"}[leaf]
+                key = ".".join(parts[:-1]
+                               + ["parametrizations", "weight", orig])
+            else:
+                key = ".".join(parts)
+            flat[key] = np.asarray(node)
+
+    rec(tree, [])
+    return flat
+
+
+def save_torch_checkpoint(net: Mapping[str, Mapping[str, Any]], path: str,
+                          iters: int = 0, epoch: int = 0,
+                          val_loss: float = 0.0,
+                          new_style_modules=()) -> None:
+    """Write a reference-format .pth training checkpoint
+    (state['net'][module_key] flat state_dicts + iters/epoch/val_loss,
+    reference train.py:349-357) from native {module: param_tree} weights —
+    the round trip back to the torch ecosystem. new_style_modules: module
+    keys whose weight-norm leaves use the parametrizations key format
+    (the 'decoder' when decoder.type == 'vocos')."""
+    import torch
+
+    def tensor(v: np.ndarray):
+        a = np.ascontiguousarray(v)
+        if not a.flags.writeable:  # jax-backed arrays are read-only views
+            a = a.copy()
+        return torch.from_numpy(a)
+
+    state = {
+        "net": {
+            key: {k: tensor(v)
+                  for k, v in tree_to_state_dict(
+                      tree, new_style_weight_norm=key in new_style_modules
+                  ).items()}
+            for key, tree in net.items()
+        },
+        "optimizer": {},
+        "iters": iters,
+        "epoch": epoch,
+        "val_loss": val_loss,
+    }
+    torch.save(state, path)
+
+
 def fuse_weight_norm(tree):
     """Pre-merge weight-norm (weight_g, weight_v) pairs into plain weights
     for inference: w = g * v / ||v|| computed once instead of per call.
