@@ -212,9 +212,15 @@ def _native_lib():
         so_path = os.path.join(build_dir, "libflac_decode.so")
         if (not os.path.exists(so_path)
                 or os.path.getmtime(so_path) < os.path.getmtime(src)):
+            # compile to a private temp then atomically publish: concurrent
+            # processes (pytest-xdist, multi-process loaders on a shared
+            # tree) must never dlopen a half-written library
+            tmp = f"{so_path}.{os.getpid()}.tmp"
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", so_path, src],
+                ["g++", "-std=c++17", "-O3", "-shared", "-fPIC",
+                 "-o", tmp, src],
                 check=True)
+            os.replace(tmp, so_path)
         lib = ctypes.CDLL(so_path)
         lib.flac_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,
@@ -240,12 +246,21 @@ def _read_flac_native(data: bytes) -> Optional[Tuple[np.ndarray, int]]:
     lib = _native_lib()
     if lib is None or len(data) < 42:
         return None
+    if data[4] & 0x7F != 0:
+        # first metadata block is not STREAMINFO: the fixed-offset total
+        # below would be garbage (and size an allocation) — let the python
+        # decoder produce its proper error instead
+        return None
     si = _BitReader(data, 8)
     si.read(16); si.read(16); si.read(24); si.read(24); si.read(20)
     si.read(3); si.read(5)
     total = si.read(36)
-    if total == 0:
-        return None  # unknown length: python path grows its buffer
+    if total == 0 or total > len(data) * 4096:
+        # unknown length (python path grows its buffer) or a corrupt total
+        # — even all-constant silence at the standard 4096 blocksize stays
+        # under ~400 samples per encoded byte, so don't size an allocation
+        # from anything claiming more
+        return None
     out = np.empty(total, np.float32)
     sr = ctypes.c_int32(0)
     got = lib.flac_decode(

@@ -37,6 +37,7 @@ Behavioral deviations (documented):
 from __future__ import annotations
 
 import bisect
+import warnings
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -157,9 +158,11 @@ class StyleTTS2:
         vocoder's FRAME axis over the mesh instead of the batch axis
         (parallel/seqpar.py) — single-stream latency scaling for long
         chunks. Batching behaves like the single-chip path (inputs
-        replicated); phase-2 decodes frame buckets >= n_dev * margin
-        sequence-parallel and falls back to the single-device graph below
-        that."""
+        replicated); phase-2 decodes a frame bucket sequence-parallel only
+        when it is BOTH divisible by the device count AND >= n_dev *
+        margin, falling back to the single-device graph otherwise (a
+        warning at init lists the buckets that will fall back — tune
+        tpu.frame_buckets to multiples of n_dev to cover them)."""
         from styletts2_tpu.cache import enable_compilation_cache
 
         enable_compilation_cache()
@@ -196,6 +199,16 @@ class StyleTTS2:
             self._sp_margin = max(SP.DEFAULT_MARGIN,
                                   SP.decoder_receptive_field(mp.decoder))
             self._sp_ndev = int(np.prod(mesh.devices.shape))
+            skipped = [fb for fb in self.cfg.tpu.frame_buckets
+                       if fb % self._sp_ndev != 0
+                       or fb // self._sp_ndev < self._sp_margin]
+            if skipped:
+                warnings.warn(
+                    f"seq_parallel: frame buckets {skipped} are not "
+                    f"divisible by the {self._sp_ndev}-device mesh (or are "
+                    f"< n_dev * margin {self._sp_ndev * self._sp_margin}) "
+                    "and will decode single-device; set tpu.frame_buckets "
+                    f"to multiples of {self._sp_ndev} to cover them")
         if mesh is not None and not self.seq_parallel:
             n_dev = int(np.prod(mesh.devices.shape))
             # batch dims must divide evenly over the mesh

@@ -173,7 +173,11 @@ bool decode_subframe(BitReader &br, int blocksize, int bps,
         return false;  // reserved subframe type
     }
     if (wasted)
-        for (int i = 0; i < blocksize; i++) out[i] <<= wasted;
+        // shift via uint64_t: left-shifting a negative int64 is UB before
+        // C++20; the cast round trip is the defined two's-complement shift
+        for (int i = 0; i < blocksize; i++)
+            out[i] = static_cast<int64_t>(
+                static_cast<uint64_t>(out[i]) << wasted);
     return !br.fail;
 }
 
@@ -267,7 +271,9 @@ int64_t flac_decode(const uint8_t *data, int64_t len, float *out,
                                  res))
                 return -2;
             for (int i = 0; i < blocksize; i++) {
-                int64_t mid2 = (chan[0][i] << 1) | (chan[1][i] & 1);
+                int64_t mid2 = static_cast<int64_t>(  // defined signed shift
+                    (static_cast<uint64_t>(chan[0][i]) << 1)
+                    | (static_cast<uint64_t>(chan[1][i]) & 1));
                 chan[0][i] = (mid2 + chan[1][i]) >> 1;
             }
         } else {

@@ -190,7 +190,8 @@ def sp_decoder_apply(mesh: Mesh, p_dec, cfg: DecoderConfig,
         idx = jax.lax.axis_index(axis)
 
         har_w = None
-        if cfg.type == "hifigan":
+        har_src = None
+        if cfg.type in ("hifigan", "istftnet"):
             # replicated NSF source from the full F0 curve: the sine phase
             # cumsum stays bitwise identical to the single-device decode.
             # Zero F0 past the valid prefix first — decoder_apply does the
@@ -201,10 +202,11 @@ def sp_decoder_apply(mesh: Mesh, p_dec, cfg: DecoderConfig,
                 jnp.arange(f0_g.shape[1])[None, :] < 2 * limit[:, None],
                 f0_g, 0.0)
             f0_up = OPS.interpolate_nearest(f0_g[:, None, :], total_up)
-            har_g, _ = DE.source_module_apply(
+            har_src, _ = DE.source_module_apply(
                 p["generator"]["m_source"], jnp.swapaxes(f0_up, 1, 2), None,
                 total_up)  # (B, 2F * total_up, 1)
-            har_pad = jnp.pad(har_g,
+        if cfg.type == "hifigan":
+            har_pad = jnp.pad(har_src,
                               ((0, 0), (margin * spa, margin * spa), (0, 0)))
             har_w = jax.lax.dynamic_slice_in_dim(
                 har_pad, idx * (core * spa), (core + 2 * margin) * spa,
@@ -240,15 +242,6 @@ def sp_decoder_apply(mesh: Mesh, p_dec, cfg: DecoderConfig,
             n_fft = cfg.gen_istft_n_fft
             hop = cfg.gen_istft_hop_size
             fr = spa // hop  # last-stage frames per asr frame
-            f0_g = jax.lax.all_gather(f0_l, axis, axis=1,
-                                      tiled=True)  # (B, 2F)
-            f0_g = jnp.where(
-                jnp.arange(f0_g.shape[1])[None, :] < 2 * limit[:, None],
-                f0_g, 0.0)
-            f0_up = jnp.swapaxes(
-                OPS.interpolate_nearest(f0_g[:, None, :], total_up), 1, 2)
-            har_src, _ = DE.source_module_apply(
-                p["generator"]["m_source"], f0_up, None, total_up)
             har_sig = jax.lax.stop_gradient(har_src[..., 0])  # (B, L)
             sp_mag, sp_ph = OPS.stft_mag_phase(
                 har_sig, n_fft, hop, n_fft, center=True,

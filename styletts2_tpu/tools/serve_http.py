@@ -96,6 +96,8 @@ class TTSService:
                 "speed": float(req.get("speed", 1.0))}
 
     def tts(self, req: Dict[str, Any]) -> bytes:
+        if "text" not in req:
+            raise KeyError("'text' is required")
         text = req["text"]
         style = self._style(req)
         with self.lock:
@@ -105,6 +107,8 @@ class TTSService:
         return wav_bytes(wav, self.engine.sr)
 
     def tts_batch(self, req: Dict[str, Any]) -> Dict[str, Any]:
+        if "texts" not in req:
+            raise KeyError("'texts' is required")
         texts = list(req["texts"])
         style = self._style(req)
         with self.lock:
@@ -149,8 +153,10 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             n = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(n) or b"{}")
-        except (ValueError, json.JSONDecodeError):
-            self._send_json(400, {"error": "invalid JSON body"})
+            if not isinstance(req, dict):
+                raise ValueError("body must be a JSON object")
+        except (ValueError, json.JSONDecodeError) as e:
+            self._send_json(400, {"error": f"invalid JSON body: {e}"})
             return
         try:
             if self.path == "/tts":
@@ -160,7 +166,12 @@ class _Handler(BaseHTTPRequestHandler):
             else:
                 self._send_json(404, {"error": f"no route {self.path}"})
         except KeyError as e:
-            self._send_json(400, {"error": str(e)})
+            # malformed request shape / unknown voice — client errors.
+            # e.args[0] is the message (str(e) would add repr quotes)
+            self._send_json(400, {"error": str(e.args[0]) if e.args
+                                  else str(e)})
+        except (TypeError, ValueError) as e:
+            self._send_json(400, {"error": f"bad request: {e}"})
         except Exception as e:  # surface synthesis failures as 500 JSON
             self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
 

@@ -159,3 +159,14 @@ def test_flac_stereo_decorrelation(tmp_path, mode, monkeypatch):
     got, sr_n = native
     assert sr_n == 24000
     np.testing.assert_array_equal(got, py)
+
+
+def test_flac_native_rejects_corrupt_header(tmp_path, sig):
+    """A FLAC whose first metadata block is not STREAMINFO (or whose total
+    is absurd) must not reach the native path's allocation — the python
+    decoder's error surfaces instead."""
+    p = str(tmp_path / "ok.flac")
+    FL.write_flac(p, sig, subframe="fixed2")
+    data = bytearray(open(p, "rb").read())
+    data[4] = (data[4] & 0x80) | 0x02  # block type 2 (application)
+    assert FL._read_flac_native(bytes(data)) is None

@@ -126,3 +126,24 @@ def test_wav_bytes_roundtrip():
     assert sr == 24000
     np.testing.assert_allclose(pcm / 32767.0, np.clip(wav, -1, 1),
                                atol=1.0 / 32000)
+
+
+def test_bad_request_shapes_are_400(server):
+    base, _ = server
+    # valid JSON but not an object
+    req = urllib.request.Request(
+        base + "/tts", data=b"[1, 2]",
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 400
+    # missing text
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/tts", {"voice": "alice"})
+    assert e.value.code == 400
+    assert "required" in json.loads(e.value.read())["error"]
+    # non-numeric speed is a client error, not a 500
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/tts", {"text": "hi", "voice": "alice",
+                              "speed": "fast"})
+    assert e.value.code == 400
