@@ -265,6 +265,11 @@ def main():
     _, probe_means, _ = eng._synthesize_chunks([UTTERANCE], eng.ref_s,
                                                1.0, 0.0, 0.0)
     scale = 4.0 / max(probe_means[-1], 1e-6)
+    # the probe ran UNscaled (~25 frames/token on random weights) — drop
+    # that stale speaking-rate estimate so the fused path's first scaled
+    # call starts from its prior instead of walking down through (and
+    # cold-compiling at) every intermediate frame bucket
+    eng._fpt_ema = None
     scaled_rtf, scaled_p50, _ = measure(eng, fixed_duration=None,
                                         duration_scale=scale, reps=4,
                                         lat_reps=15)

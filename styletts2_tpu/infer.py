@@ -262,6 +262,16 @@ class StyleTTS2:
         # single-dispatch path for short single-chunk stabilize=False calls
         # (see _fused_impl); disable to force the 2-phase path everywhere
         self.fused_enabled: bool = True
+        # "sync": a cold fused (token, frame)-bucket pair compiles inline on
+        # the request (the default; deterministic). "async": cold pairs
+        # compile on a background thread while the request is served by the
+        # already-warm 2-phase graphs — no request ever blocks on an XLA
+        # compile (serving mode; tools/serve_http.py enables it)
+        self.fused_compile: str = "sync"
+        self._fused_ready: set = set()
+        self._fused_pending: set = set()
+        self._fused_queue = None
+        self._fused_thread = None
 
     def _put_data(self, x):
         """Batch-shard an input over the mesh (no-op without a mesh)."""
@@ -777,6 +787,12 @@ class StyleTTS2:
         if need > fbs[-1]:
             return None
         fb = _bucket(fbs, max(need, 1))
+        if (self.fused_compile == "async"
+                and (tb, fb) not in self._fused_ready):
+            # serve this request on the warm 2-phase graphs; compile the
+            # fused (tb, fb) graph in the background for the next one
+            self._enqueue_fused_compile(tb, fb)
+            return None
         tokens = np.zeros((1, tb), np.int32)
         tokens[0, : len(tk)] = tk
         mask = np.zeros((1, tb), bool)
@@ -791,6 +807,7 @@ class StyleTTS2:
             jnp.float32(0.0 if fixed is None else fixed),
             jnp.float32(1.0 if scale is None else scale),
             n_frames=fb)
+        self._fused_ready.add((tb, fb))
         # start both device->host copies before blocking on either
         pcm.copy_to_host_async()
         total.copy_to_host_async()
@@ -811,8 +828,70 @@ class StyleTTS2:
                 / 32767.0)
 
     def _observe_rate(self, frames_per_token: float) -> None:
-        self._fpt_ema = (frames_per_token if self._fpt_ema is None
-                         else 0.8 * self._fpt_ema + 0.2 * frames_per_token)
+        """Update the speaking-rate estimate that sizes the fused path's
+        frame bucket. EMA for small drift, SNAP when the observation is far
+        off (>25%): a stale estimate otherwise decays by only 0.8x per call,
+        walking the bucket choice through every intermediate frame bucket —
+        each one a cold XLA compile (~1 min on a tunneled chip). A rate
+        step (new voice, speed change, rate-calibrated bench) must converge
+        in one observation, not seventeen."""
+        if (self._fpt_ema is None or frames_per_token > 1.25 * self._fpt_ema
+                or frames_per_token < 0.8 * self._fpt_ema):
+            self._fpt_ema = frames_per_token
+        else:
+            self._fpt_ema = 0.8 * self._fpt_ema + 0.2 * frames_per_token
+
+    def _enqueue_fused_compile(self, tb: int, fb: int) -> None:
+        """Queue a fused (token, frame)-bucket graph for background
+        compilation (fused_compile == "async"). JAX jit caches are
+        thread-safe: the daemon thread calling self._fused with dummy
+        inputs populates the same cache the request path dispatches from.
+        XLA compilation releases the GIL, so the serving thread keeps
+        running the 2-phase path meanwhile."""
+        import queue
+        import threading
+
+        key = (tb, fb)
+        if key in self._fused_pending or key in self._fused_ready:
+            return
+        self._fused_pending.add(key)
+        if self._fused_thread is None:
+            self._fused_queue = queue.Queue()
+
+            def _worker():
+                while True:
+                    k = self._fused_queue.get()
+                    if k is None:
+                        return
+                    wtb, wfb = k
+                    try:
+                        self._fused(
+                            self.params,
+                            jnp.zeros((1, wtb), jnp.int32),
+                            jnp.ones((1, wtb), bool),
+                            jnp.zeros((1, self.cfg.model_params.style_dim),
+                                      jnp.float32),
+                            jnp.float32(1.0), jnp.float32(1.0),
+                            jnp.float32(1.0), jnp.float32(1.0),
+                            n_frames=wfb)
+                        self._fused_ready.add(k)
+                    except Exception as e:  # keep serving on compile failure
+                        warnings.warn(
+                            f"background fused compile {k} failed: {e!r}")
+                    finally:
+                        self._fused_pending.discard(k)
+                        self._fused_queue.task_done()
+
+            self._fused_thread = threading.Thread(
+                target=_worker, name="fused-compiler", daemon=True)
+            self._fused_thread.start()
+        self._fused_queue.put(key)
+
+    def wait_fused_compiles(self) -> None:
+        """Block until every queued background fused compile has finished
+        (tests / explicit pre-warming; the serving path never calls it)."""
+        if self._fused_queue is not None:
+            self._fused_queue.join()
 
     def generate_stream(self, phonem: str, style: Dict[str, Any],
                         stabilize: bool = True, n_merge: int = 16):
@@ -973,3 +1052,4 @@ class StyleTTS2:
                                             jnp.float32(0.0),
                                             jnp.float32(0.0),
                                             jnp.float32(1.0), n_frames=fbk)
+                                self._fused_ready.add((tb, fbk))

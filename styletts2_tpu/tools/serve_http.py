@@ -198,6 +198,10 @@ def main(argv=None) -> None:
     args = ap.parse_args(argv)
 
     engine = StyleTTS2(args.config, args.ckpt)
+    # serving mode: a cold fused-bucket request is answered by the warm
+    # 2-phase graphs while the fused graph compiles on a background thread
+    # (no request ever blocks on an XLA compile)
+    engine.fused_compile = "async"
     service = TTSService.build(engine, voicepack=args.voicepack,
                                voices_dir=args.voices_dir,
                                denoise=args.denoise)

@@ -249,3 +249,43 @@ def test_fused_preserves_engine_rng_stream(engine, style):
         outs.append(engine.generate(text, style, stabilize=True, n_merge=1))
     engine.fused_enabled = True
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_rate_estimate_snaps_on_large_step(engine):
+    """A speaking-rate step >25% must SNAP the estimate in one observation
+    (a 0.8x-per-call EMA decay would walk the fused path's frame-bucket
+    choice through every intermediate bucket — one cold XLA compile each).
+    Small drift still smooths."""
+    engine._fpt_ema = None
+    engine._observe_rate(25.0)
+    assert engine._fpt_ema == 25.0
+    engine._observe_rate(4.0)  # rate step down (e.g. rate-calibrated bench)
+    assert engine._fpt_ema == 4.0
+    engine._observe_rate(4.2)  # small drift: EMA
+    assert abs(engine._fpt_ema - (0.8 * 4.0 + 0.2 * 4.2)) < 1e-9
+    engine._observe_rate(8.0)  # rate step up
+    assert engine._fpt_ema == 8.0
+    engine._fpt_ema = None
+
+
+def test_fused_async_compile_serves_then_hits(engine, style):
+    """fused_compile='async': a cold fused bucket is served by the 2-phase
+    path (identical audio) while the fused graph compiles on a background
+    thread; once ready, the same request runs fused."""
+    text = "hello there you"
+    engine.fixed_duration = 5  # pinned -> fused picks the same bucket as
+    try:                       # 2-phase -> bit-exact comparisons
+        engine.fused_compile = "async"
+        engine._fused_ready = set()
+        engine.fused_enabled = False
+        want = engine.generate(text, style, stabilize=False, n_merge=8)
+        engine.fused_enabled = True
+        a = engine.generate(text, style, stabilize=False, n_merge=8)
+        np.testing.assert_array_equal(a, want)  # served by 2-phase
+        engine.wait_fused_compiles()
+        assert engine._fused_ready, "background compile did not land"
+        b = engine.generate(text, style, stabilize=False, n_merge=8)
+        np.testing.assert_array_equal(b, want)  # now fused, same audio
+    finally:
+        engine.fused_compile = "sync"
+        engine.fixed_duration = None
