@@ -136,6 +136,180 @@ def main(out_dir=None):
     save_fixture(os.path.join(out_dir, "golden_vocos_generator.npz"), mod,
                  inp, {"wav": out.numpy()})
 
+    export_composed_train(out_dir)
+    export_losses(out_dir)
+
+
+def export_composed_train(out_dir):
+    """Composed train-step GLUE losses (reference train.py:202-315,
+    deterministic eval branch: mono attention, crop offset 0, no dropout):
+    dur/ce/s2s/mono/f0/norm on small modules, with the JDC pitch target
+    recorded as an array (JDCNet is not size-parameterized; 5.2M params
+    would dominate the fixture). The decoder/discriminator losses stay in
+    the live tests (see golden.SPECS['composed_train'] note)."""
+    import torch.nn.functional as F
+
+    import models as ref_models
+    from Modules.JDC.model import JDCNet
+
+    import jax.numpy as jnp
+
+    from styletts2_tpu.ops import align as ALN
+    from styletts2_tpu.ops import stft as OPS
+
+    spec = SPECS["composed_train"]
+    torch.manual_seed(20)
+    te = ref_models.TextEncoder(**spec["text_encoder"]).eval()
+    torch.manual_seed(21)
+    se = ref_models.StyleEncoder(**spec["style_encoder"]).eval()
+    torch.manual_seed(22)
+    pr = ref_models.ProsodyPredictor(**spec["predictor"]).eval()
+    torch.manual_seed(23)
+    al = ref_models.ASRCNN(**spec["aligner"]).eval()
+    # the reference applies its 10% unk masking unconditionally (even in
+    # eval, ASR/models.py:125-128) — disable via the threshold; the replay
+    # side runs rng=None => no masking
+    al.asr_s2s.random_mask = -1.0
+    torch.manual_seed(24)
+    jdc = JDCNet(num_class=1, seq_len=192).eval()
+
+    inp = make_inputs("composed_train")
+    b, crop = spec["b"], spec["crop"]
+    waves = torch.from_numpy(inp["waves"])
+    texts = torch.from_numpy(inp["texts"])
+    input_lengths = torch.from_numpy(inp["lengths"])
+    synth = inp["attn"]
+
+    # both sides share the repo mel frontend (parity-tested vs torchaudio
+    # in tests/test_stft.py), even-truncated like meldataset.py:93-97
+    mels_j = OPS.preprocess_wave(jnp.asarray(inp["waves"]), backend="xla")
+    mels_j = mels_j[..., : mels_j.shape[-1] - mels_j.shape[-1] % 2]
+    mels = torch.from_numpy(np.asarray(mels_j))
+    t_mel = mels.shape[-1]
+    mel_input_length = torch.full((b,), t_mel, dtype=torch.long)
+
+    with torch.no_grad():
+        mask = al.length_to_mask(mel_input_length // 2)
+        text_mask = te.length_to_mask(input_lengths)
+
+        _, s2s_pred, _ = al(mels, mask, texts)
+        # injected attention (train.py:206-209 drops the sos step; the
+        # synthetic tensor replaces the post-drop (B, T, L/2) attention)
+        mask_st = ALN.mask_from_lens(
+            jnp.asarray(input_lengths.numpy()),
+            jnp.asarray((mel_input_length // 2).numpy()),
+            synth.shape[1], synth.shape[2])
+        attn_np = synth * np.asarray(mask_st, np.float32)
+        mono = ALN.maximum_path(jnp.asarray(attn_np),
+                                jnp.asarray(input_lengths.numpy()),
+                                jnp.asarray((mel_input_length // 2).numpy()))
+        s2s_attn = torch.from_numpy(attn_np)
+        s2s_attn_mono = torch.from_numpy(np.asarray(mono, np.float32))
+
+        t_en = te(texts, input_lengths, text_mask)
+        d_gt = s2s_attn_mono.sum(axis=-1)
+
+        s_full = se(mels.unsqueeze(1))
+        d, p = pr(t_en, s_full, input_lengths, s2s_attn_mono, text_mask)
+
+        # crops (train.py:235-256), offset 0 on both sides
+        p_en = p[:, :, :crop]
+        gt = mels[:, :, : 2 * crop]
+
+        s = se(gt.unsqueeze(1))
+        f0_real, _, _ = jdc(gt.unsqueeze(1))
+        n_real = torch.from_numpy(np.asarray(OPS.log_norm(
+            jnp.asarray(gt.numpy()), axis=-2)))
+
+        f0_fake, n_fake = pr.F0Ntrain(p_en, s)
+        loss_f0 = F.smooth_l1_loss(f0_real, f0_fake) / 10
+        loss_norm = F.smooth_l1_loss(n_real, n_fake)
+
+        loss_ce = 0.0
+        loss_dur = 0.0
+        for _s2s_pred, _text_input, _text_length in zip(d, d_gt,
+                                                        input_lengths):
+            _s2s_pred = _s2s_pred[:_text_length, :]
+            _text_input = _text_input[:_text_length].long()
+            _s2s_trg = torch.zeros_like(_s2s_pred)
+            for pp in range(_s2s_trg.shape[0]):
+                _s2s_trg[pp, : _text_input[pp]] = 1
+            _dur_pred = torch.sigmoid(_s2s_pred).sum(axis=1)
+            loss_dur += F.l1_loss(_dur_pred[1: _text_length - 1],
+                                  _text_input[1: _text_length - 1].float())
+            loss_ce += F.binary_cross_entropy_with_logits(
+                _s2s_pred.flatten(), _s2s_trg.flatten())
+        loss_ce /= texts.size(0)
+        loss_dur /= texts.size(0)
+
+        loss_s2s = 0.0
+        for _s2s_pred, _text_input, _text_length in zip(s2s_pred, texts,
+                                                        input_lengths):
+            loss_s2s += F.cross_entropy(_s2s_pred[:_text_length],
+                                        _text_input[:_text_length])
+        loss_s2s /= texts.size(0)
+
+        loss_mono = F.l1_loss(s2s_attn, s2s_attn_mono) * 10
+
+    arrays = {}
+    for prefix, mod in (("text_encoder", te), ("style_encoder", se),
+                        ("predictor", pr), ("text_aligner", al)):
+        for k, v in sd_to_numpy(mod).items():
+            arrays[f"sd:{prefix}.{k}"] = v
+    arrays["out:f0_real"] = f0_real.numpy()
+    losses = {"dur": loss_dur, "ce": loss_ce, "s2s": loss_s2s,
+              "mono": loss_mono, "f0": loss_f0, "norm": loss_norm}
+    for k, v in losses.items():
+        arrays[f"out:loss_{k}"] = np.float32(float(v))
+    path = os.path.join(out_dir, "golden_composed_train.npz")
+    np.savez_compressed(path, **arrays)
+    total = sum(a.nbytes for a in arrays.values())
+    print(f"wrote {path} ({len(arrays)} arrays, {total/1e6:.2f} MB raw)")
+    print("  losses:", {k: round(float(v), 6) for k, v in losses.items()})
+
+
+def export_losses(out_dir):
+    """Loss library golden (reference losses.py:24-147): the MSD halves of
+    the adversarial/feature/TPRLS losses (full-size MultiResSpecDiscriminator,
+    280,902 params) + the weight-free mel-domain MRSTFT value."""
+    import losses as ref_losses
+    from Modules.discriminators import MultiResSpecDiscriminator
+
+    torch.manual_seed(30)
+    msd = MultiResSpecDiscriminator().eval()
+    inp = make_inputs("losses")
+    y = torch.from_numpy(inp["y"]).unsqueeze(1)
+    y_hat = torch.from_numpy(inp["y_hat"]).unsqueeze(1)
+
+    # the reference stft helper calls window.to(y.get_device()), a CUDA-ism
+    # that crashes on CPU (get_device() == -1)
+    orig_get_device = torch.Tensor.get_device
+    torch.Tensor.get_device = lambda self: "cpu"
+    try:
+        with torch.no_grad():
+            rs, gs, frs, fgs = msd(y, y_hat)
+            gen_adv, _ = ref_losses.generator_loss(gs)
+            feat = ref_losses.feature_loss(frs, fgs)
+            gen_tprls = ref_losses.generator_TPRLS_loss(rs, gs)
+            disc_adv, _, _ = ref_losses.discriminator_loss(rs, gs)
+            disc_tprls = ref_losses.discriminator_TPRLS_loss(rs, gs)
+            mrstft = ref_losses.MultiResolutionSTFTLoss()(
+                y_hat.squeeze(1), y.squeeze(1))
+    finally:
+        torch.Tensor.get_device = orig_get_device
+
+    arrays = {f"sd:{k}": v for k, v in sd_to_numpy(msd).items()}
+    losses = {"msd_gen_adv": gen_adv, "msd_feature": feat,
+              "msd_gen_tprls": gen_tprls, "msd_disc_adv": disc_adv,
+              "msd_disc_tprls": disc_tprls, "mrstft": mrstft}
+    for k, v in losses.items():
+        arrays[f"out:{k}"] = np.float32(float(v))
+    path = os.path.join(out_dir, "golden_losses.npz")
+    np.savez_compressed(path, **arrays)
+    total = sum(a.nbytes for a in arrays.values())
+    print(f"wrote {path} ({len(arrays)} arrays, {total/1e6:.2f} MB raw)")
+    print("  losses:", {k: round(float(v), 6) for k, v in losses.items()})
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else None)

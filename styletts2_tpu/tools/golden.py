@@ -16,7 +16,10 @@ transposes exactly like test_models_parity.py does.
 
 Reference modules covered: TextEncoder (models.py:238-299), StyleEncoder
 (models.py:125-150), ProsodyPredictor + F0Ntrain (models.py:394-461),
-hifigan.Generator (hifigan.py:272-356), vocos.Generator (vocos.py:108-162).
+hifigan.Generator (hifigan.py:272-356), vocos.Generator (vocos.py:108-162),
+plus two COMPOSED fixtures: the train-step glue losses (train.py:202-315,
+"composed_train") and the loss library (losses.py:24-147, "losses" — MSD
+adversarial/feature/TPRLS halves + mel-domain MRSTFT).
 istftnet is excluded: its source-STFT phase features are branch-cut
 ambiguous (not reproducible between the reference's own CPU/CUDA runs), so
 a recorded output cannot be compared without sharing intermediates — see
@@ -52,6 +55,28 @@ SPECS: Dict[str, Dict[str, Any]] = {
     "vocos_generator": dict(style_dim=32, dim=64, intermediate_dim=128,
                             num_layers=2, gen_istft_n_fft=40,
                             gen_istft_hop_size=10),
+    # composed train-step glue (VERDICT r02 #7's "composed train-step loss
+    # vector"): the six losses whose value depends on the GLUE transcribed
+    # from reference train.py:202-315 — aligner -> monotonic path -> d_gt,
+    # masked dur/ce/s2s denominators, crop bookkeeping, f0/norm targets.
+    # The decoder/discriminator losses (mel/gen/d) stay live-only: the
+    # reference Decoder shell hard-codes 1024-wide blocks + a 41M MPD
+    # (hifigan.py:416-440, discriminators.py:96-156) — too large to commit;
+    # their module numerics are covered by the generator goldens above and
+    # the msd half of the "losses" fixture below.
+    "composed_train": dict(
+        text_encoder=dict(channels=64, kernel_size=5, depth=2, n_symbols=50),
+        style_encoder=dict(dim_in=16, style_dim=32, max_conv_dim=64),
+        predictor=dict(style_dim=32, d_hid=64, nlayers=2, max_dur=10,
+                       dropout=0.2),
+        aligner=dict(input_dim=80, hidden_dim=64, n_token=50, n_layers=2,
+                     token_embedding_dim=64),
+        b=2, t_text=10, crop=41,
+    ),
+    # loss library golden: the full-size MSD (280,902 params — committable,
+    # unlike the 41M MPD) + the weight-free mel-domain MRSTFT, recorded
+    # through the reference loss functions (losses.py:24-147).
+    "losses": dict(b=2, t=12000),
 }
 
 
@@ -94,5 +119,36 @@ def make_inputs(name: str) -> Dict[str, np.ndarray]:
         return {
             "x": rng.standard_normal((b, s["dim"], f)).astype(np.float32),
             "s": rng.standard_normal((b, s["style_dim"])).astype(np.float32),
+        }
+    if name == "composed_train":
+        b, t_text, crop = s["b"], s["t_text"], s["crop"]
+        t_mel = 2 * crop + 2  # crop offset forced to 0 on both sides
+        lens = np.array([t_text, t_text - 3], np.int64)
+        texts = rng.integers(4, s["aligner"]["n_token"],
+                             (b, t_text)).astype(np.int64)
+        texts[1, t_text - 3:] = 0
+        waves = (rng.standard_normal((b, t_mel * 300)) * 0.1).astype(
+            np.float32)
+        # identical peaked soft attention injected on BOTH sides: with
+        # random small weights the aligner's attention is near-uniform, so
+        # the monotonic DP path flips under float noise; a diagonal
+        # gaussian keeps the composed comparison well-conditioned while
+        # still exercising every loss and denominator (same trick as
+        # tests/test_composed_parity.py)
+        l_half = t_mel // 2
+        ii = np.arange(t_text)[None, :, None]
+        jj = np.arange(l_half)[None, None, :]
+        centers = (jj + 0.5) * lens[:, None, None] / l_half - 0.5
+        logits = -0.5 * ((ii - centers) / 0.7) ** 2
+        logits = np.where(ii < lens[:, None, None], logits, -1e9)
+        synth = np.exp(logits - logits.max(axis=1, keepdims=True))
+        synth = (synth / synth.sum(axis=1, keepdims=True)).astype(np.float32)
+        return {"waves": waves, "texts": texts, "lengths": lens,
+                "attn": synth}
+    if name == "losses":
+        b, t = s["b"], s["t"]
+        return {
+            "y": (rng.standard_normal((b, t)) * 0.2).astype(np.float32),
+            "y_hat": (rng.standard_normal((b, t)) * 0.2).astype(np.float32),
         }
     raise KeyError(name)
