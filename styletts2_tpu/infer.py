@@ -12,10 +12,11 @@ TPU-first redesign of the execution:
   frame bucket — so arbitrary sentence lengths hit a small set of compiled
   graphs instead of recompiling (the data-dependent total-frame count from
   duration rounding lives between the two phases, on host, as a scalar);
-* short single-chunk stabilize=False calls take a FUSED single-dispatch
-  graph instead (durations postprocessed on device, frame bucket chosen
-  by host heuristic, exact 2-phase fallback on overflow) — one host sync
-  per utterance instead of two (see _fused_impl);
+* short single-chunk calls (stabilize=True or False) take a FUSED
+  single-dispatch graph instead (durations postprocessed on device —
+  incl. the stabilization blend, noise supplied by the host RNG — frame
+  bucket chosen by host heuristic, 2-phase fallback on overflow) — one
+  host sync per utterance instead of two (see _fused_impl);
 * the hard alignment is the vectorized cumsum/position-mask build
   (ops/align.py) instead of the reference's python loop (inference.py:258-263);
 * style computation batches the 3-second windows of a reference clip into
@@ -70,27 +71,47 @@ def _bucket(buckets, n: int) -> int:
 def _device_postprocess_durations(duration: jnp.ndarray, mask: jnp.ndarray,
                                   speed: jnp.ndarray, fixed_flag: jnp.ndarray,
                                   fixed_value: jnp.ndarray,
-                                  dur_scale: jnp.ndarray
+                                  dur_scale: jnp.ndarray,
+                                  t: jnp.ndarray,
+                                  prev_mean: jnp.ndarray,
+                                  noise: jnp.ndarray
                                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """On-device mirror of StyleTTS2._postprocess_durations for the
-    deterministic (t=0, no stabilization noise) case: fixed/scaled
-    durations, z-score outlier clamp on duration[1:-2] (reference
+    """On-device mirror of StyleTTS2._postprocess_durations: fixed/scaled
+    durations, the stochastic rate-stabilization blend (t > 0; reference
+    inference.py:248-252 — the caller supplies the standard-normal draws
+    in `noise` so the host RNG stream stays the single source of
+    randomness), z-score outlier clamp on duration[1:-2] (reference
     inference.py:134-148, 253), speed divide, round, min-1 clamp.
 
     All vectorized over the padded token bucket so it lives INSIDE the
     fused synthesis graph — the host never has to see the durations.
-    duration/mask: (B, Tb); the scalars are traced (no recompilation per
-    value). Returns (pred_dur int32 (B, Tb), total int32 (B,)).
+    duration/mask/noise: (B, Tb); the scalars are traced (no recompilation
+    per value). t is the blend weight (0 disables, making `noise` inert);
+    prev_mean is the previous chunk's duration mean (0 = none -> blend
+    toward this chunk's own mean, like the host glue).
+    Returns (pred_dur int32 (B, Tb), total int32 (B,)).
 
     Equality with the host glue is exact on every tested input, but not
-    formally guaranteed: the masked full-row reductions here and numpy's
-    contiguous-slice mean/std can differ by ulps, which could flip a
-    duration sitting exactly on the |z|=3 or .5-rounding boundary (the
-    caller's overflow fallback keeps any such flip harmless — the audio
-    would differ by one frame's worth at most, never crash)."""
+    formally guaranteed: the masked full-row reductions here (f32) and
+    numpy's contiguous-slice mean/std (f64 in the blend path) can differ
+    by ulps, which could flip a duration sitting exactly on the |z|=3 or
+    .5-rounding boundary (the caller's overflow fallback keeps any such
+    flip harmless — the audio would differ by one frame's worth at most,
+    never crash)."""
     n_valid = mask.sum(axis=1)
     duration = jnp.where(fixed_flag > 0, fixed_value, duration * dur_scale)
     duration = jnp.where(mask, duration, 0.0)
+    # stochastic rate stabilization (reference inference.py:248-252):
+    # dur_stats ~ N(prev_mean or mean, std) = mean + std * noise, blended
+    # with weight t. Host glue order: fixed/scale -> blend -> clamp -> speed
+    nv = jnp.maximum(n_valid, 1)
+    mean_all = duration.sum(axis=1) / nv
+    var_all = jnp.where(mask, (duration - mean_all[:, None]) ** 2,
+                        0.0).sum(axis=1) / nv  # ddof=0 (numpy .std())
+    std_all = jnp.sqrt(var_all)
+    blend_mean = jnp.where(prev_mean != 0.0, prev_mean, mean_all)
+    dur_stats = blend_mean[:, None] + std_all[:, None] * noise
+    duration = jnp.where(mask, duration * (1.0 - t) + dur_stats * t, 0.0)
     # inner region duration[1:-2] of the VALID prefix: indices 1..n_valid-3
     idx = jnp.arange(duration.shape[1])[None, :]
     inner = mask & (idx >= 1) & (idx <= (n_valid - 3)[:, None])
@@ -339,7 +360,8 @@ class StyleTTS2:
         return pcm.astype(jnp.int16)
 
     def _fused_impl(self, params, tokens, mask, s, speed, fixed_flag,
-                    fixed_value, dur_scale, n_frames: int):
+                    fixed_value, dur_scale, t, prev_mean, noise,
+                    n_frames: int):
         """Single-dispatch synthesis: tokens -> (pcm, total_frames) in ONE
         graph, durations postprocessed on device — the short-utterance
         latency path. The 2-phase split exists because the total frame
@@ -353,7 +375,8 @@ class StyleTTS2:
         inference_onnx.py:221-262.)"""
         t_en, d, duration = self._phase1_impl(params, tokens, mask, s)
         pred_dur, total = _device_postprocess_durations(
-            duration, mask, speed, fixed_flag, fixed_value, dur_scale)
+            duration, mask, speed, fixed_flag, fixed_value, dur_scale,
+            t, prev_mean, noise)
         pcm = self._phase2_impl(params, t_en, d, s, pred_dur, n_frames)
         return pcm, total
 
@@ -509,17 +532,20 @@ class StyleTTS2:
 
     def _synthesize_chunks(self, sentences: List[str], ref_s,
                            speed: float, prev_d_mean: float, t: float,
-                           chain_of: Optional[List[int]] = None
+                           chain_of: Optional[List[int]] = None,
+                           base_seed: Optional[int] = None
                            ) -> Tuple[List[np.ndarray], List[float],
                                       List[int]]:
         """Pipelined multi-chunk synthesis; see _synthesize_plan."""
         wav_parts_of, means, origin = self._synthesize_plan(
-            sentences, ref_s, speed, prev_d_mean, t, chain_of)
+            sentences, ref_s, speed, prev_d_mean, t, chain_of,
+            base_seed=base_seed)
         return self._fetch_all(wav_parts_of), means, origin
 
     def _synthesize_plan(self, sentences: List[str], ref_s,
                          speed: float, prev_d_mean: float, t: float,
-                         chain_of: Optional[List[int]] = None):
+                         chain_of: Optional[List[int]] = None,
+                         base_seed: Optional[int] = None):
         """Dispatch the full synthesis pipeline WITHOUT fetching audio.
 
         All phase-1 calls are dispatched asynchronously, durations come back
@@ -532,6 +558,8 @@ class StyleTTS2:
         chain_of: optional per-input-sentence chain id; the stochastic
         rate-stabilization mean AND its noise stream chain only WITHIN a
         chain (used by generate_batch so independent texts don't couple).
+        base_seed: reuse a seed the caller already drew from the engine RNG
+        (the fused path's fallback — keeps one draw per synthesis).
         Returns (wav_parts_of, means, origin): wav_parts_of[i] is chunk i's
         ordered list of (device_batch, row, n_frames) pieces (frame-bucket
         overflow splits a chunk into several phase-2 pieces); origin[i] is
@@ -606,7 +634,8 @@ class StyleTTS2:
         means: List[float] = []
         chain_mean: Dict[int, float] = {}
         chain_rng: Dict[int, np.random.Generator] = {}
-        base_seed = int(self._rng.integers(2 ** 63))
+        if base_seed is None:
+            base_seed = int(self._rng.integers(2 ** 63))
         pred_of = [None] * n_chunks
         for i in range(n_chunks):
             dur_dev, row = dur_dev_of[i]
@@ -749,26 +778,41 @@ class StyleTTS2:
         chunks = split_into_chunks(phonem, n_merge=n_merge)
         if not chunks:
             return np.zeros(8000, np.float32)
-        if (smooth == 0.0 and len(chunks) == 1 and self.mesh is None
-                and self.fused_enabled):
-            wav = self._generate_fused(chunks[0], style)
+        base_seed = None
+        if len(chunks) == 1 and self.mesh is None and self.fused_enabled:
+            # one base-seed draw per synthesis regardless of path: the
+            # fused attempt and its 2-phase fallback share the seed, so
+            # toggling fused_enabled never shifts the engine RNG stream
+            base_seed = int(self._rng.integers(2 ** 63))
+            wav = self._generate_fused(chunks[0], style, t=smooth,
+                                       base_seed=base_seed)
             if wav is not None:
                 return np.concatenate([np.zeros(4000, np.float32),
                                        wav[4000:-4000],
                                        np.zeros(4000, np.float32)])
         wavs, _, _ = self._synthesize_chunks(chunks, style["style"],
                                              style.get("speed", 1.0), 0.0,
-                                             smooth)
+                                             smooth, base_seed=base_seed)
         out = np.concatenate([w[4000:-4000] for w in wavs])
         return np.concatenate([np.zeros(4000, np.float32), out,
                                np.zeros(4000, np.float32)])
 
-    def _generate_fused(self, sentence: str, style: Dict[str, Any]
+    def _generate_fused(self, sentence: str, style: Dict[str, Any],
+                        t: float = 0.0, base_seed: Optional[int] = None
                         ) -> Optional[np.ndarray]:
         """One-dispatch single-chunk synthesis (see _fused_impl). Returns
         None when the utterance doesn't fit the fused path (token bucket
         overflow, or predicted frames overflow the chosen frame bucket) —
-        the caller falls back to the exact 2-phase path."""
+        the caller falls back to the exact 2-phase path.
+
+        t > 0 (stabilize=True, the production default): the stabilization
+        noise is drawn host-side from the SAME chain stream the 2-phase
+        plan would use (default_rng([base_seed, 0]); N(mean, std, n) ==
+        mean + std * N(0, 1, n) draw-for-draw under numpy's Generator) and
+        blended on device — so the fused path and its fallback produce the
+        same audio for the same base_seed, to f32-vs-f64 rounding of the
+        blend (a flip at an exact .5 duration boundary shifts the audio by
+        one frame; see _device_postprocess_durations)."""
         tk = tokens_for_sentence(sentence, self.cleaner)
         fbs = self.cfg.tpu.frame_buckets
         try:
@@ -799,6 +843,12 @@ class StyleTTS2:
         mask[0, : len(tk)] = True
         fixed = self.fixed_duration
         scale = self.duration_scale
+        t_eff = 0.0 if fixed is not None else t  # host glue zeroes t on fixed
+        noise = np.zeros((1, tb), np.float32)
+        if t_eff > 0:
+            # the exact draws the 2-phase plan's chain 0 would make
+            chain_rng = np.random.default_rng([base_seed, 0])
+            noise[0, : len(tk)] = chain_rng.normal(0.0, 1.0, size=len(tk))
         pcm, total = self._fused(
             self.params, jnp.asarray(tokens), jnp.asarray(mask),
             jnp.asarray(style["style"]),
@@ -806,6 +856,7 @@ class StyleTTS2:
             jnp.float32(0.0 if fixed is None else 1.0),
             jnp.float32(0.0 if fixed is None else fixed),
             jnp.float32(1.0 if scale is None else scale),
+            jnp.float32(t_eff), jnp.float32(0.0), jnp.asarray(noise),
             n_frames=fb)
         self._fused_ready.add((tb, fb))
         # start both device->host copies before blocking on either
@@ -818,12 +869,6 @@ class StyleTTS2:
             self._observe_rate(n / max(len(tk), 1))
         if n > fb:
             return None  # frame-bucket overflow: 2-phase path splits it
-        # keep the engine RNG stream in lockstep with the 2-phase path,
-        # which draws its stabilization base seed unconditionally (even at
-        # t=0): exactly one draw per synthesis whether this path succeeds
-        # (draw here) or falls back (the 2-phase plan draws instead) —
-        # toggling fused_enabled must not change later stabilize=True audio
-        self._rng.integers(2 ** 63)
         return (np.asarray(pcm)[0, : n * 2 * self.hop].astype(np.float32)
                 / 32767.0)
 
@@ -873,6 +918,8 @@ class StyleTTS2:
                                       jnp.float32),
                             jnp.float32(1.0), jnp.float32(1.0),
                             jnp.float32(1.0), jnp.float32(1.0),
+                            jnp.float32(0.0), jnp.float32(0.0),
+                            jnp.zeros((1, wtb), jnp.float32),
                             n_frames=wfb)
                         self._fused_ready.add(k)
                     except Exception as e:  # keep serving on compile failure
@@ -910,18 +957,21 @@ class StyleTTS2:
         if not chunks:
             yield np.zeros(8000, np.float32)
             return
-        if (smooth == 0.0 and len(chunks) == 1 and self.mesh is None
-                and self.fused_enabled):
+        base_seed = None
+        if len(chunks) == 1 and self.mesh is None and self.fused_enabled:
             # single chunk: same fused single-dispatch path as generate()
             # (keeps concatenate(stream) == generate exact)
-            wav = self._generate_fused(chunks[0], style)
+            base_seed = int(self._rng.integers(2 ** 63))
+            wav = self._generate_fused(chunks[0], style, t=smooth,
+                                       base_seed=base_seed)
             if wav is not None:
                 yield np.concatenate([np.zeros(4000, np.float32),
                                       wav[4000:-4000],
                                       np.zeros(4000, np.float32)])
                 return
         wav_parts_of, _, _ = self._synthesize_plan(
-            chunks, style["style"], style.get("speed", 1.0), 0.0, smooth)
+            chunks, style["style"], style.get("speed", 1.0), 0.0, smooth,
+            base_seed=base_seed)
         host_wav: Dict[int, np.ndarray] = {}
         n = len(wav_parts_of)
         for i in range(n):
@@ -1051,5 +1101,9 @@ class StyleTTS2:
                                             jnp.float32(1.0),
                                             jnp.float32(0.0),
                                             jnp.float32(0.0),
-                                            jnp.float32(1.0), n_frames=fbk)
+                                            jnp.float32(1.0),
+                                            jnp.float32(0.0),
+                                            jnp.float32(0.0),
+                                            jnp.zeros((1, tb), jnp.float32),
+                                            n_frames=fbk)
                                 self._fused_ready.add((tb, fbk))

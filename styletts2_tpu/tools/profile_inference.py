@@ -6,7 +6,12 @@ Times (median of reps, after warmup):
   * phase-2 (align + F0/N + vocoder) per frame bucket
   * decoder-only and generator-only subgraphs, to localize the cost
 
-Run:  python -m styletts2_tpu.tools.profile_inference [hifigan|istftnet|vocos]
+Run:  python -m styletts2_tpu.tools.profile_inference [hifigan|istftnet|vocos] [batch]
+
+The optional batch argument (default 1) profiles the serving shapes:
+phase-1/phase-2/decoder at batch N — how the per-call serial scans
+amortize over rows is what separates single-stream from multi-stream
+throughput.
 """
 
 import sys
@@ -27,6 +32,7 @@ def med_time(fn, reps=10):
 
 def main():
     dec_type = sys.argv[1] if len(sys.argv) > 1 else "hifigan"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     import os
 
     import jax
@@ -65,36 +71,38 @@ def main():
     t_disp = med_time(lambda: trivial(xsmall), reps=30)
     print(f"dispatch overhead: {t_disp*1e3:.2f} ms")
 
+    b = batch
+    sB = jnp.broadcast_to(s, (b,) + s.shape[1:])
     tb = 64
-    tokens = jnp.zeros((1, tb), jnp.int32).at[0, :50].set(
-        jnp.asarray(rng.integers(4, 170, 50)))
-    mask = jnp.zeros((1, tb), bool).at[0, :50].set(True)
+    tokens = jnp.zeros((b, tb), jnp.int32).at[:, :50].set(
+        jnp.asarray(rng.integers(4, 170, (b, 50))))
+    mask = jnp.zeros((b, tb), bool).at[:, :50].set(True)
 
     # phase 1
-    t_en, d, dur = engine._phase1(engine.params, tokens, mask, s)
+    t_en, d, dur = engine._phase1(engine.params, tokens, mask, sB)
     jax.block_until_ready(dur)
-    t_p1 = med_time(lambda: engine._phase1(engine.params, tokens, mask, s))
-    print(f"phase1 (tb={tb}): {t_p1*1e3:.2f} ms")
+    t_p1 = med_time(lambda: engine._phase1(engine.params, tokens, mask, sB))
+    print(f"phase1 (b={b}, tb={tb}): {t_p1*1e3:.2f} ms")
 
     for fb in (400, 800, 1600):
-        durs = jnp.full((1, tb), fb // tb, jnp.int32)
-        out = engine._phase2(engine.params, t_en, d, s, durs, n_frames=fb)
+        durs = jnp.full((b, tb), fb // tb, jnp.int32)
+        out = engine._phase2(engine.params, t_en, d, sB, durs, n_frames=fb)
         jax.block_until_ready(out)
-        t_p2 = med_time(lambda: engine._phase2(engine.params, t_en, d, s,
+        t_p2 = med_time(lambda: engine._phase2(engine.params, t_en, d, sB,
                                                durs, n_frames=fb))
-        audio_s = fb * 2 * 300 / 24000.0
-        print(f"phase2 (fb={fb}, {audio_s:.1f}s audio): {t_p2*1e3:.2f} ms "
-              f"-> {audio_s/t_p2:.1f}x realtime")
+        audio_s = b * fb * 2 * 300 / 24000.0
+        print(f"phase2 (b={b}, fb={fb}, {audio_s:.1f}s audio): "
+              f"{t_p2*1e3:.2f} ms -> {audio_s/t_p2:.1f}x realtime")
 
     # decoder-only: fabricate inputs at fb=800
     fb = 800
     mel_t = fb * 2
     dt = engine.dtype
-    asr = jnp.asarray(rng.standard_normal((1, fb, 512)), dt)
-    f0 = jnp.asarray(np.abs(rng.standard_normal((1, mel_t))) * 100, jnp.float32)
-    n_en = jnp.asarray(np.abs(rng.standard_normal((1, mel_t))), jnp.float32)
-    sb = s.astype(dt)
-    frame_mask = jnp.ones((1, fb), bool)
+    asr = jnp.asarray(rng.standard_normal((b, fb, 512)), dt)
+    f0 = jnp.asarray(np.abs(rng.standard_normal((b, mel_t))) * 100, jnp.float32)
+    n_en = jnp.asarray(np.abs(rng.standard_normal((b, mel_t))), jnp.float32)
+    sb = sB.astype(dt)
+    frame_mask = jnp.ones((b, fb), bool)
 
     dec_fn = jax.jit(lambda p, a, f, n, ss: DE.decoder_apply(
         p["decoder"], cfg.model_params.decoder, a, f, n, ss, rng=None,
@@ -102,13 +110,14 @@ def main():
     out = dec_fn(engine.params, asr, f0, n_en, sb)
     jax.block_until_ready(out)
     t_dec = med_time(lambda: dec_fn(engine.params, asr, f0, n_en, sb))
-    audio_s = fb * 2 * 300 / 24000.0
-    print(f"decoder-only (fb={fb}): {t_dec*1e3:.2f} ms -> {audio_s/t_dec:.1f}x")
+    audio_s = b * fb * 2 * 300 / 24000.0
+    print(f"decoder-only (b={b}, fb={fb}): {t_dec*1e3:.2f} ms "
+          f"-> {audio_s/t_dec:.1f}x")
 
     # generator-only (skip the shell): x at mel rate 1600 frames, 512 ch
     if dec_type == "hifigan":
         from styletts2_tpu.nn.decoder import hifigan_generator_apply
-        x = jnp.asarray(rng.standard_normal((1, mel_t, 512)), dt)
+        x = jnp.asarray(rng.standard_normal((b, mel_t, 512)), dt)
         gen_fn = jax.jit(lambda p, xx, ss, ff: hifigan_generator_apply(
             p["decoder"]["generator"], xx, ss, ff, None,
             cfg.model_params.decoder, None))
@@ -118,14 +127,14 @@ def main():
         print(f"generator-only: {t_gen*1e3:.2f} ms -> {audio_s/t_gen:.1f}x")
 
     # f0n only
-    en = jnp.asarray(rng.standard_normal((1, fb, 640)), jnp.float32)
+    en = jnp.asarray(rng.standard_normal((b, fb, 640)), jnp.float32)
     f0n_fn = jax.jit(lambda p, e, ss: PR.f0n_train(
         p["predictor"], e, ss, mask=frame_mask,
-        out_mask=jnp.ones((1, mel_t), bool)))
-    out = f0n_fn(engine.params, en, s)
+        out_mask=jnp.ones((b, mel_t), bool)))
+    out = f0n_fn(engine.params, en, sB)
     jax.block_until_ready(out)
-    t_f0n = med_time(lambda: f0n_fn(engine.params, en, s))
-    print(f"f0n-only (fb={fb}): {t_f0n*1e3:.2f} ms")
+    t_f0n = med_time(lambda: f0n_fn(engine.params, en, sB))
+    print(f"f0n-only (b={b}, fb={fb}): {t_f0n*1e3:.2f} ms")
 
 
 if __name__ == "__main__":

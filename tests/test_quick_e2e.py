@@ -182,6 +182,27 @@ def test_fused_single_dispatch_matches_two_phase(engine, style):
     assert len(a) == len(b) and np.abs(a - b).max() <= 1.01 / 32767
 
 
+def test_fused_stabilize_matches_two_phase(engine, style):
+    """stabilize=True single-chunk calls (the production default) also take
+    the fused path: the stabilization noise is drawn host-side from the
+    same chain stream the 2-phase plan uses and blended on device — same
+    engine seed => same audio as the fallback path (to the cross-bucket
+    +-1 PCM step contract of the t=0 test above)."""
+    text = "hello there you"
+    engine.fixed_duration = None
+    engine.duration_scale = None
+    outs = []
+    for fused in (True, False):
+        engine.fused_enabled = fused
+        engine._rng = np.random.default_rng(123)
+        engine._fpt_ema = 5.0
+        outs.append(engine.generate(text, style, stabilize=True, n_merge=8))
+    engine.fused_enabled = True
+    a, b = outs
+    assert len(a) == len(b)
+    assert np.abs(a - b).max() <= 1.01 / 32767
+
+
 def test_fused_overflow_falls_back(engine, style):
     """When the duration head's total overflows the heuristically chosen
     frame bucket, the fused path must defer to the exact 2-phase path
@@ -204,9 +225,11 @@ def test_fused_overflow_falls_back(engine, style):
 
 def test_device_duration_postprocess_matches_host(engine):
     """_device_postprocess_durations is the in-graph mirror of the host
-    _postprocess_durations glue (t=0): z-score clamp on duration[1:-2]
-    (ddof=1, threshold 3, factor .95), speed clamp/divide, round, min-1 —
-    must agree with the host numpy per row, padding included."""
+    _postprocess_durations glue: the stochastic stabilization blend (t>0,
+    noise = the host chain stream's standard-normal draws), z-score clamp
+    on duration[1:-2] (ddof=1, threshold 3, factor .95), speed
+    clamp/divide, round, min-1 — must agree with the host numpy per row,
+    padding included."""
     import jax.numpy as jnp
 
     from styletts2_tpu.infer import _device_postprocess_durations
@@ -215,21 +238,33 @@ def test_device_duration_postprocess_matches_host(engine):
     engine.fixed_duration = None
     engine.duration_scale = None
     tb = 24
-    for _ in range(25):
+    for it in range(25):
         n = int(rng.integers(1, tb + 1))
         dur = (rng.random(n, dtype=np.float32) * 10).astype(np.float32)
         if n > 5 and rng.random() < 0.5:
             dur[int(rng.integers(1, n - 2))] += 40.0  # force an outlier
         speed = float(rng.choice([0.7, 1.0, 1.3, 2.5]))
+        t = float(rng.choice([0.0, 0.2, 0.2]))
+        prev = float(rng.choice([0.0, 4.5]))
+        # host draws N(mean, std, n); device gets the SAME underlying
+        # standard normals (numpy Generator: normal(m, s) == m + s*N(0,1)
+        # draw-for-draw) and blends in-graph
+        seed = 1000 + it
         want, want_total, _ = engine._postprocess_durations(
-            dur.copy(), speed, 0.0, 0.0)
+            dur.copy(), speed, prev, t,
+            rng=np.random.default_rng([seed, 0]))
+        noise = np.zeros((1, tb), np.float32)
+        if t > 0:
+            noise[0, :n] = np.random.default_rng([seed, 0]).normal(
+                0.0, 1.0, size=n)
         dd = np.zeros((1, tb), np.float32)
         dd[0, :n] = dur
         mm = np.zeros((1, tb), bool)
         mm[0, :n] = True
         got, got_total = _device_postprocess_durations(
             jnp.asarray(dd), jnp.asarray(mm), jnp.float32(speed),
-            jnp.float32(0.0), jnp.float32(0.0), jnp.float32(1.0))
+            jnp.float32(0.0), jnp.float32(0.0), jnp.float32(1.0),
+            jnp.float32(t), jnp.float32(prev), jnp.asarray(noise))
         np.testing.assert_array_equal(np.asarray(got)[0, :n], want)
         np.testing.assert_array_equal(np.asarray(got)[0, n:], 0)
         assert int(np.asarray(got_total)[0]) == want_total
