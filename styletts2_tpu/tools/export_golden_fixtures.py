@@ -123,6 +123,38 @@ def main(out_dir=None):
     save_fixture(os.path.join(out_dir, "golden_hifigan_generator.npz"), mod,
                  inp, {"wav": out.numpy()})
 
+    # --- istftnet generator (shared source + source-STFT intermediates) ----
+    # The source-STFT phase is branch-cut ambiguous (see golden.SPECS), so
+    # the fixture records the reference's exact harmonic source and its
+    # (mag, phase) for injection on the replay side — the committed-fixture
+    # form of test_models_parity.py::test_decoder_parity[istftnet]. The
+    # sine determinism patch makes the separately-recorded preamble equal
+    # the values mod(x, s, f0) computes internally.
+    from Modules.istftnet import Generator as IstftGenerator
+
+    spec = SPECS["istftnet_generator"]
+    torch.manual_seed(15)
+    mod = IstftGenerator(**spec).eval()
+    inp = make_inputs("istftnet_generator")
+    orig_randn_like = torch.randn_like
+    orig_rand = patch_sine_determinism()
+    try:
+        with torch.no_grad():
+            f0_t = torch.from_numpy(inp["f0"])
+            f0_up = mod.f0_upsamp(f0_t[:, None]).transpose(1, 2)
+            har_source, _, _ = mod.m_source(f0_up)
+            har_flat = har_source.transpose(1, 2).squeeze(1)  # (B, L)
+            har_spec, har_phase = mod.stft.transform(har_flat)
+            out = mod(torch.from_numpy(inp["x"]),
+                      torch.from_numpy(inp["s"]), f0_t)
+    finally:
+        torch.rand = orig_rand
+        torch.randn_like = orig_randn_like
+    save_fixture(os.path.join(out_dir, "golden_istftnet_generator.npz"), mod,
+                 inp, {"wav": out.numpy(), "har": har_flat.numpy(),
+                       "har_spec": har_spec.numpy(),
+                       "har_phase": har_phase.numpy()})
+
     # --- vocos generator (fully deterministic) -----------------------------
     from Modules.vocos import Generator as VocosGenerator
 

@@ -20,10 +20,11 @@ hifigan.Generator (hifigan.py:272-356), vocos.Generator (vocos.py:108-162),
 plus two COMPOSED fixtures: the train-step glue losses (train.py:202-315,
 "composed_train") and the loss library (losses.py:24-147, "losses" — MSD
 adversarial/feature/TPRLS halves + mel-domain MRSTFT).
-istftnet is excluded: its source-STFT phase features are branch-cut
-ambiguous (not reproducible between the reference's own CPU/CUDA runs), so
-a recorded output cannot be compared without sharing intermediates — see
-test_models_parity.py::test_decoder_parity[istftnet] for the live strategy.
+istftnet.Generator (istftnet.py:494-600) is covered via the
+shared-intermediate strategy: its source-STFT phase is branch-cut
+ambiguous, so the fixture records the reference's harmonic source and its
+exact source-STFT (mag, phase) alongside the output — see the
+"istftnet_generator" SPECS note below.
 """
 
 from __future__ import annotations
@@ -55,6 +56,21 @@ SPECS: Dict[str, Dict[str, Any]] = {
     "vocos_generator": dict(style_dim=32, dim=64, intermediate_dim=128,
                             num_layers=2, gen_istft_n_fft=40,
                             gen_istft_hop_size=10),
+    # istftnet: the source-STFT *phase* features are branch-cut ambiguous
+    # (not reproducible between the reference's own CPU/CUDA runs), so the
+    # fixture also records the reference's harmonic source and its exact
+    # source-STFT (mag, phase); the replay injects them on our side — the
+    # same shared-intermediate strategy as the live
+    # test_models_parity.py::test_decoder_parity[istftnet]. The sine
+    # source and the STFT are each verified exactly elsewhere
+    # (test_models_parity.py / test_stft.py).
+    "istftnet_generator": dict(style_dim=32,
+                               resblock_kernel_sizes=[3, 7],
+                               upsample_rates=[10, 6],
+                               upsample_initial_channel=64,
+                               resblock_dilation_sizes=[[1, 3, 5], [1, 3, 5]],
+                               upsample_kernel_sizes=[20, 12],
+                               gen_istft_n_fft=20, gen_istft_hop_size=5),
     # composed train-step glue (VERDICT r02 #7's "composed train-step loss
     # vector"): the six losses whose value depends on the GLUE transcribed
     # from reference train.py:202-315 — aligner -> monotonic path -> d_gt,
@@ -119,6 +135,15 @@ def make_inputs(name: str) -> Dict[str, np.ndarray]:
         return {
             "x": rng.standard_normal((b, s["dim"], f)).astype(np.float32),
             "s": rng.standard_normal((b, s["style_dim"])).astype(np.float32),
+        }
+    if name == "istftnet_generator":
+        b, f = 1, 20
+        return {
+            "x": rng.standard_normal(
+                (b, s["upsample_initial_channel"], f)).astype(np.float32),
+            "s": rng.standard_normal((b, s["style_dim"])).astype(np.float32),
+            "f0": (np.abs(rng.standard_normal((b, f))) * 100.0
+                   + 80.0).astype(np.float32),
         }
     if name == "composed_train":
         b, t_text, crop = s["b"], s["t_text"], s["crop"]
