@@ -46,15 +46,19 @@ stays 0.998 — same audio, shifted). This is a property of bf16 on an
 untrained net, not of the kernel; with trained weights the output is
 phase-locked to the f32 NSF harmonic source.
 
-Halo handling: the input is read through three views (prev/cur/next tile,
-clamped at the edges); out-of-range rows are killed by the same position
-mask that implements the bucket prefix, so edge tiles need no special
-casing (positions < 0 or >= n_valid zero out).
+Halo handling: the input is read through three views — the current tile
+plus one small (multiple-of-8-row) halo block from each neighbor, clamped
+at the edges (_pick_halo_block; fetching full neighbor TILES instead
+tripled the read traffic and ~2x'd wall-clock on the hot 150000x128
+serving stages). Out-of-range rows are killed by the same position mask
+that implements the bucket prefix, so edge tiles need no special casing
+(positions < 0 or >= n_valid zero out).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -70,17 +74,16 @@ _TILE_CANDIDATES = (2048, 2000, 1600, 1280, 1200, 1024, 1000, 800, 640,
                     512, 400, 256, 200, 128)
 
 # scoped VMEM is 16 MB; the kernel's working set per (tile, C_lanes)
-# element is ~8*itemsize (4 I/O blocks, double-buffered) + ~36 B of f32
-# temps (z concat, zf, valid mask, acc, dot staging). C is padded to the
-# 128-lane register width, so small-C stages pay the full 128 lanes
-# (measured: C=32 f32 k=11 tile=2000 wants 17.34 MB -> 67.7 B per padded
-# elt; C=256 f32 tile=1200 wants 17.02 MB -> 55.4). Cap the tile to stay
-# under ~13 MB with the conservative 8*itemsize + 36 model.
+# element is ~4*itemsize (cur + out blocks, double-buffered; the halo
+# blocks are <= 48 rows, negligible) + ~40 B of f32 temps (z concat, zf,
+# valid mask, acc, dot staging). C is padded to the 128-lane register
+# width, so small-C stages pay the full 128 lanes. Cap the tile to stay
+# under ~13 MB with the conservative 4*itemsize + 40 model.
 _VMEM_BUDGET = 13e6
 
 
 def _pick_tile(t: int, c: int = 0, itemsize: int = 2) -> int:
-    cap = (_VMEM_BUDGET / (max(c, 128) * (36 + 8 * itemsize))) if c else t
+    cap = (_VMEM_BUDGET / (max(c, 128) * (40 + 4 * itemsize))) if c else t
     if t <= cap:
         return t  # single tile == full array dim (no sublane constraint)
     for cand in _TILE_CANDIDATES:
@@ -89,15 +92,54 @@ def _pick_tile(t: int, c: int = 0, itemsize: int = 2) -> int:
     return 0  # no even tiling -> caller falls back to the XLA path
 
 
+def _pick_halo_block(tile: int, halo: int) -> int:
+    """Smallest multiple-of-8 row count >= halo that evenly tiles `tile`:
+    the prev/next inputs are fetched as one such block instead of a full
+    neighbor tile (the original triple-full-tile scheme tripled the
+    kernel's HBM read traffic — measured 2x wall-clock on the hot
+    150000x128 serving stages). 0 -> no valid halo block (caller falls
+    back to full-tile neighbor fetches via halo_block=tile)."""
+    for cand in (8, 16, 24, 32, 40, 48):
+        if cand >= halo and tile % cand == 0:
+            return cand
+    return 0
+
+
+# minimax fit of sin^2(r)/r^2 over r in [0, pi/2] (degree 4 in u = r^2;
+# Remez-weighted lstsq): max |poly - sin^2| = 4.4e-7 on the interval,
+# 3.1e-6 end-to-end in f32 including the mod-pi range reduction — three
+# orders of magnitude below bf16's own quantization step on O(1)
+# activations. sin^2 is even and pi-periodic, so the reduction is a
+# single round() — ~10 VPU ops total vs Mosaic's full-precision sin
+# (measured 2.5 ms/call cheaper on the hot 150000x128 serving stage).
+_SIN2_COEFFS = (0.9999919530071253, -0.3332866101072116,
+                0.04435612637758055, -0.003101284637731907,
+                0.00011299663600091553)
+
+
+def _sin2_poly(y):
+    """sin(y)^2 via mod-pi range reduction + even minimax polynomial."""
+    r = y - np.float32(np.pi) * jnp.round(y * np.float32(1.0 / np.pi))
+    u = r * r
+    p = jnp.float32(_SIN2_COEFFS[-1])
+    for c in _SIN2_COEFFS[-2::-1]:
+        p = p * u + np.float32(c)
+    return u * p
+
+
 def _kernel(nv_ref, prev_ref, cur_ref, next_ref, scale_ref, shift_ref,
             alpha_ref, w_ref, bias_ref, out_ref, *, tile: int, halo: int,
-            k: int, dilation: int, use_snake: bool):
+            h_blk: int, k: int, dilation: int, use_snake: bool,
+            fast_snake: bool):
     b = pl.program_id(0)
     t = pl.program_id(1)
 
-    # rows [t*tile - halo, (t+1)*tile + halo) of the time axis
+    # rows [t*tile - halo, (t+1)*tile + halo) of the time axis; the
+    # neighbor halos arrive as h_blk-row blocks (edge programs fetch a
+    # clamped block whose rows land outside [0, n_valid) and are zeroed
+    # by the position mask below)
     z = jnp.concatenate(
-        [prev_ref[0, tile - halo:, :], cur_ref[0],
+        [prev_ref[0, h_blk - halo:, :], cur_ref[0],
          next_ref[0, :halo, :]], axis=0)  # (tile + 2*halo, C)
 
     pos = (t * tile - halo
@@ -109,8 +151,11 @@ def _kernel(nv_ref, prev_ref, cur_ref, next_ref, scale_ref, shift_ref,
     zf = z.astype(jnp.float32) * scale_ref[0, 0] + shift_ref[0, 0]
     if use_snake:
         a = alpha_ref[0, 0].astype(jnp.float32)
-        sn = jnp.sin(a * zf)
-        zf = zf + (1.0 / a) * (sn * sn)
+        if fast_snake:
+            zf = zf + (1.0 / a) * _sin2_poly(a * zf)
+        else:
+            sn = jnp.sin(a * zf)
+            zf = zf + (1.0 / a) * (sn * sn)
     zf = jnp.where(valid, zf, 0.0).astype(z.dtype)
 
     # f32 inputs must multiply at HIGHEST (3-pass bf16) precision to match
@@ -152,6 +197,9 @@ def fused_ada_snake_conv(x: jnp.ndarray, scale: jnp.ndarray,
         return None
 
     n_t = t_sz // tile
+    h_blk = _pick_halo_block(tile, halo) or tile
+    r = tile // h_blk           # halo blocks per tile
+    n_hb = t_sz // h_blk        # halo-block count along T
     w_kio = (w.astype(x.dtype) if w_is_hio
              else jnp.transpose(w, (2, 1, 0)).astype(x.dtype))
     if alpha is None:
@@ -167,13 +215,14 @@ def fused_ada_snake_conv(x: jnp.ndarray, scale: jnp.ndarray,
         num_scalar_prefetch=1,
         grid=(b_sz, n_t),
         in_specs=[
-            pl.BlockSpec((1, tile, c),
-                         lambda b, t, nv: (b, jnp.maximum(t - 1, 0), 0),
+            pl.BlockSpec((1, h_blk, c),
+                         lambda b, t, nv: (b, jnp.maximum(t * r - 1, 0), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, c), lambda b, t, nv: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, c),
-                         lambda b, t, nv: (b, jnp.minimum(t + 1, n_t - 1), 0),
+            pl.BlockSpec((1, h_blk, c),
+                         lambda b, t, nv: (b, jnp.minimum((t + 1) * r,
+                                                          n_hb - 1), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c), lambda b, t, nv: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -189,15 +238,22 @@ def fused_ada_snake_conv(x: jnp.ndarray, scale: jnp.ndarray,
         out_specs=pl.BlockSpec((1, tile, c), lambda b, t, nv: (b, t, 0),
                                memory_space=pltpu.VMEM),
     )
-    kern = functools.partial(_kernel, tile=tile, halo=halo, k=k,
-                             dilation=dilation, use_snake=use_snake)
+    # bf16 path: the minimax sin^2 polynomial (error 3e-6 — far below the
+    # bf16 quantization the output is about to undergo). f32 path keeps
+    # jnp.sin: the kernel's documented exactness vs the XLA reference path
+    # is measured in f32. STYLETTS2_TPU_EXACT_SNAKE=1 forces exact sin.
+    fast_snake = (jnp.dtype(x.dtype) == jnp.bfloat16
+                  and os.environ.get("STYLETTS2_TPU_EXACT_SNAKE") != "1")
+    kern = functools.partial(_kernel, tile=tile, halo=halo, h_blk=h_blk,
+                             k=k, dilation=dilation, use_snake=use_snake,
+                             fast_snake=fast_snake)
     flops = 2 * b_sz * t_sz * c * c * k
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b_sz, t_sz, c), x.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=4 * b_sz * t_sz * c * x.dtype.itemsize,
+            flops=flops, bytes_accessed=2 * b_sz * t_sz * c * x.dtype.itemsize,
             transcendentals=b_sz * t_sz * c if use_snake else 0),
         interpret=interpret,
     )(n_valid.astype(jnp.int32), x, x, x,

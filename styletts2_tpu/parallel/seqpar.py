@@ -51,6 +51,32 @@ F must divide by the device count; padded static buckets pass the
 per-row valid prefix as `n_valid` (the frame-sharded equivalent of
 `decoder_apply`'s prefix frame_mask — `infer.StyleTTS2(seq_parallel=True)`
 routes its phase-2 here this way).
+
+When to turn it on (value statement; UNMEASURED ON REAL MULTI-CHIP
+HARDWARE — this environment has one chip, so only the exactness is
+verified, on the 8-device virtual CPU mesh in tests/test_seqpar.py):
+
+* It is a LATENCY tool, not a throughput tool. For aggregate
+  throughput, chunk-parallel batching (generate_batch / mesh='dp'
+  batch sharding) is strictly better: it has zero extra communication
+  and no redundant halo compute, so N chips give ~N× throughput.
+  Sequence parallelism instead divides ONE chunk's decode wall-clock by
+  ~N, which only matters when a single long chunk's latency is the
+  product constraint (e.g. first-audio latency on long-form reads with
+  no concurrent load).
+* Redundant-compute overhead: each device decodes margin extra asr
+  frames per neighbor (margin = receptive field, ~17 for the default
+  hifigan config). Efficiency ≈ (F/N) / (F/N + 2·margin), so the
+  crossover vs running on one chip is roughly F > ~2·margin·N/(N-1)·
+  (desired efficiency factor): at N=8, F=448 (the long-chunk bucket)
+  each device computes 56 core + up to 34 halo frames → ~62%
+  efficient, i.e. ~5× latency reduction on 8 chips. Below F ≈ 150
+  frames (~4 s audio) the halo dominates and it is not worth enabling.
+* Communication is negligible: two ppermutes of (B, margin-frame)
+  activations + one all-gathered (B, 2F) F0 curve + one (B, 1+C) psum
+  pair per AdaIN — KB-scale messages riding ICI, ~µs each, against a
+  multi-ms decode. The design is compute-overhead-bound, never
+  bandwidth-bound.
 """
 
 from __future__ import annotations
