@@ -217,6 +217,32 @@ def _adain_affine_folded(p_adain, x_f: jnp.ndarray, s: jnp.ndarray,
     return jnp.tile(scale, (1, f)), jnp.tile(shift, (1, f))
 
 
+def _affine_from_stats(p_adain, stats, s, nv_f, f: int):
+    """AdaIN affine (scale, shift) from the Pallas kernel's per-tile
+    partial [sum, sumsq] output (vocoder_pallas out_stats) — the
+    instance-norm stats WITHOUT a separate full pass over the tensor.
+    One-pass variance (E[x^2] - mean^2), so the bf16 hot path only; the
+    f32 path keeps the two-pass _adain_affine/_adain_affine_folded that
+    the kernel's documented XLA exactness is measured against.
+    stats: (B, n_tiles, 2, f*C); f: phase fold (1 = unfolded)."""
+    b, _, _, fc = stats.shape
+    c = fc // f
+    h = L.linear_apply(p_adain["fc"], s.astype(jnp.float32))
+    gamma, beta = jnp.split(h, 2, axis=-1)
+    tot = stats.sum(axis=1)  # (B, 2, f*C)
+    n = jnp.maximum(nv_f.astype(jnp.float32) * f, 1.0)[:, None]
+    sm = tot[:, 0].reshape(b, f, c).sum(axis=1)
+    sq = tot[:, 1].reshape(b, f, c).sum(axis=1)
+    mean = sm / n
+    var = jnp.maximum(sq / n - mean * mean, 0.0)
+    scale = (1.0 + gamma) * jax.lax.rsqrt(var + 1e-5)
+    shift = beta - mean * scale
+    if f > 1:
+        scale = jnp.tile(scale, (1, f))
+        shift = jnp.tile(shift, (1, f))
+    return scale, shift
+
+
 def adain_res_block1_apply(p, x: jnp.ndarray, s: jnp.ndarray,
                            kernel_size: int, dilation=(1, 3, 5),
                            mask: Optional[jnp.ndarray] = None,
@@ -267,39 +293,101 @@ def adain_res_block1_apply(p, x: jnp.ndarray, s: jnp.ndarray,
                 b_sz, t_sz = x.shape[0], x.shape[1]
                 x_f = x.reshape(b_sz, t_sz // f, f * c)
                 nv_f = n_valid // f
+                # bf16: fuse the residual add into conv2's epilogue and
+                # take the next AdaIN's stats from the kernel's partial
+                # sums (saves one full read-modify-write + one stats pass
+                # per conv pair; see _affine_from_stats for the f32 gate)
+                fuse_x = (jnp.dtype(x.dtype) == jnp.bfloat16
+                          and os.environ.get(
+                              "STYLETTS2_TPU_NO_FUSE_STATS") != "1"
+                          and VP._pick_tile(t_sz // f, 128, itemsize,
+                                            io_blocks=6)
+                          > (kp_max - 1) // 2)
+                st = None
                 for i, _d in enumerate(dilation):
                     si = str(i)
-                    sc1, sh1 = _adain_affine_folded(p["adain1"][si], x_f, s,
-                                                    nv_f, f)
+                    last = i == len(dilation) - 1
+                    if st is None:
+                        sc1, sh1 = _adain_affine_folded(p["adain1"][si],
+                                                        x_f, s, nv_f, f)
+                    else:
+                        sc1, sh1 = _affine_from_stats(p["adain1"][si], st,
+                                                      s, nv_f, f)
                     a1 = jnp.tile(jnp.asarray(p["alpha1"][si]).ravel(), f)
-                    zt = VP.fused_ada_snake_conv(
-                        x_f, sc1, sh1, a1, p["convs1"][si]["wfold"],
-                        p["convs1"][si]["bfold"], 1, nv_f, w_is_hio=True)
-                    sc2, sh2 = _adain_affine_folded(p["adain2"][si], zt, s,
-                                                    nv_f, f)
                     a2 = jnp.tile(jnp.asarray(p["alpha2"][si]).ravel(), f)
-                    zt = VP.fused_ada_snake_conv(
-                        zt, sc2, sh2, a2, p["convs2"][si]["wfold"],
-                        p["convs2"][si]["bfold"], 1, nv_f, w_is_hio=True)
-                    x_f = zt + x_f
+                    if fuse_x:
+                        zt, st_z = VP.fused_ada_snake_conv(
+                            x_f, sc1, sh1, a1, p["convs1"][si]["wfold"],
+                            p["convs1"][si]["bfold"], 1, nv_f,
+                            w_is_hio=True, out_stats=True)
+                        sc2, sh2 = _affine_from_stats(p["adain2"][si],
+                                                      st_z, s, nv_f, f)
+                        out = VP.fused_ada_snake_conv(
+                            zt, sc2, sh2, a2, p["convs2"][si]["wfold"],
+                            p["convs2"][si]["bfold"], 1, nv_f,
+                            w_is_hio=True, residual=x_f,
+                            out_stats=not last)
+                        if last:
+                            x_f, st = out, None
+                        else:
+                            x_f, st = out
+                    else:
+                        zt = VP.fused_ada_snake_conv(
+                            x_f, sc1, sh1, a1, p["convs1"][si]["wfold"],
+                            p["convs1"][si]["bfold"], 1, nv_f,
+                            w_is_hio=True)
+                        sc2, sh2 = _adain_affine_folded(p["adain2"][si],
+                                                        zt, s, nv_f, f)
+                        zt = VP.fused_ada_snake_conv(
+                            zt, sc2, sh2, a2, p["convs2"][si]["wfold"],
+                            p["convs2"][si]["bfold"], 1, nv_f,
+                            w_is_hio=True)
+                        x_f = zt + x_f
                 return x_f.reshape(b_sz, t_sz, c)
 
         tile = VP._pick_tile(x.shape[1], c, itemsize)
         max_halo = max(dilation) * (kernel_size - 1) // 2
         if tile > max_halo:
+            fuse_x = (jnp.dtype(x.dtype) == jnp.bfloat16
+                      and os.environ.get(
+                          "STYLETTS2_TPU_NO_FUSE_STATS") != "1"
+                      and VP._pick_tile(x.shape[1], c, itemsize,
+                                        io_blocks=6) > max_halo)
+            st = None
             for i, d in enumerate(dilation):
                 si = str(i)
-                sc1, sh1 = _adain_affine(p["adain1"][si], x, s, mask)
-                xt = VP.fused_ada_snake_conv(
-                    x, sc1, sh1, jnp.asarray(p["alpha1"][si]).ravel(),
-                    p["convs1"][si]["weight"], p["convs1"][si]["bias"], d,
-                    n_valid)
-                sc2, sh2 = _adain_affine(p["adain2"][si], xt, s, mask)
-                xt = VP.fused_ada_snake_conv(
-                    xt, sc2, sh2, jnp.asarray(p["alpha2"][si]).ravel(),
-                    p["convs2"][si]["weight"], p["convs2"][si]["bias"], 1,
-                    n_valid)
-                x = xt + x
+                last = i == len(dilation) - 1
+                if st is None:
+                    sc1, sh1 = _adain_affine(p["adain1"][si], x, s, mask)
+                else:
+                    sc1, sh1 = _affine_from_stats(p["adain1"][si], st, s,
+                                                  n_valid, 1)
+                if fuse_x:
+                    xt, st_x = VP.fused_ada_snake_conv(
+                        x, sc1, sh1, jnp.asarray(p["alpha1"][si]).ravel(),
+                        p["convs1"][si]["weight"], p["convs1"][si]["bias"],
+                        d, n_valid, out_stats=True)
+                    sc2, sh2 = _affine_from_stats(p["adain2"][si], st_x, s,
+                                                  n_valid, 1)
+                    out = VP.fused_ada_snake_conv(
+                        xt, sc2, sh2, jnp.asarray(p["alpha2"][si]).ravel(),
+                        p["convs2"][si]["weight"], p["convs2"][si]["bias"],
+                        1, n_valid, residual=x, out_stats=not last)
+                    if last:
+                        x, st = out, None
+                    else:
+                        x, st = out
+                else:
+                    xt = VP.fused_ada_snake_conv(
+                        x, sc1, sh1, jnp.asarray(p["alpha1"][si]).ravel(),
+                        p["convs1"][si]["weight"], p["convs1"][si]["bias"],
+                        d, n_valid)
+                    sc2, sh2 = _adain_affine(p["adain2"][si], xt, s, mask)
+                    xt = VP.fused_ada_snake_conv(
+                        xt, sc2, sh2, jnp.asarray(p["alpha2"][si]).ravel(),
+                        p["convs2"][si]["weight"], p["convs2"][si]["bias"],
+                        1, n_valid)
+                    x = xt + x
             return x
     if fold is None:
         fold = 1

@@ -82,8 +82,12 @@ _TILE_CANDIDATES = (2048, 2000, 1600, 1280, 1200, 1024, 1000, 800, 640,
 _VMEM_BUDGET = 13e6
 
 
-def _pick_tile(t: int, c: int = 0, itemsize: int = 2) -> int:
-    cap = (_VMEM_BUDGET / (max(c, 128) * (40 + 4 * itemsize))) if c else t
+def _pick_tile(t: int, c: int = 0, itemsize: int = 2,
+               io_blocks: int = 4) -> int:
+    """io_blocks: double-buffered (tile, C) I/O blocks in flight — 4 for
+    the base kernel (cur in + out), 6 with a fused residual input."""
+    cap = (_VMEM_BUDGET / (max(c, 128)
+                           * (40 + io_blocks * itemsize))) if c else t
     if t <= cap:
         return t  # single tile == full array dim (no sublane constraint)
     for cand in _TILE_CANDIDATES:
@@ -128,9 +132,13 @@ def _sin2_poly(y):
 
 
 def _kernel(nv_ref, prev_ref, cur_ref, next_ref, scale_ref, shift_ref,
-            alpha_ref, w_ref, bias_ref, out_ref, *, tile: int, halo: int,
+            alpha_ref, w_ref, bias_ref, *refs, tile: int, halo: int,
             h_blk: int, k: int, dilation: int, use_snake: bool,
-            fast_snake: bool):
+            fast_snake: bool, with_res: bool, with_stats: bool):
+    refs = list(refs)
+    res_ref = refs.pop(0) if with_res else None
+    out_ref = refs.pop(0)
+    st_ref = refs.pop(0) if with_stats else None
     b = pl.program_id(0)
     t = pl.program_id(1)
 
@@ -169,8 +177,24 @@ def _kernel(nv_ref, prev_ref, cur_ref, next_ref, scale_ref, shift_ref,
         acc = acc + jnp.dot(zf[i * dilation: i * dilation + tile, :],
                             w_ref[i], precision=prec,
                             preferred_element_type=jnp.float32)
-    out_ref[0] = (acc + bias_ref[0, 0].astype(jnp.float32)
-                  ).astype(out_ref.dtype)
+    acc = acc + bias_ref[0, 0].astype(jnp.float32)
+    if with_res:
+        # fused residual epilogue (reference hifigan.py:66-79's `x = xt+x`)
+        acc = acc + res_ref[0].astype(jnp.float32)
+    out_ref[0] = acc.astype(out_ref.dtype)
+    if with_stats:
+        # masked per-tile partial sums of the OUTPUT (for the next AdaIN's
+        # instance-norm stats — saves that pass re-reading the tensor from
+        # HBM). The conv leaks nonzero values into invalid rows near the
+        # boundary (and bias/residual fill the rest), so mask to the valid
+        # core explicitly. Quantize to out dtype first so the stats match
+        # what the consumer actually reads.
+        core_pos = (t * tile
+                    + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0))
+        om = jnp.where(core_pos < nv_ref[b],
+                       out_ref[0].astype(jnp.float32), 0.0)
+        st_ref[0, 0, 0, :] = om.sum(axis=0)
+        st_ref[0, 0, 1, :] = (om * om).sum(axis=0)
 
 
 def fused_ada_snake_conv(x: jnp.ndarray, scale: jnp.ndarray,
@@ -179,7 +203,9 @@ def fused_ada_snake_conv(x: jnp.ndarray, scale: jnp.ndarray,
                          n_valid: jnp.ndarray, *,
                          use_snake: bool = True,
                          w_is_hio: bool = False,
-                         interpret: bool = False) -> jnp.ndarray:
+                         interpret: bool = False,
+                         residual: jnp.ndarray = None,
+                         out_stats: bool = False):
     """x: (B, T, C); scale/shift: (B, C) f32; alpha: (C,) or None;
     w: torch-layout (C_out, C_in, k) with C_out == C_in — or, with
     w_is_hio=True, an already-(k, C_in, C_out) weight (the time-folded
@@ -187,14 +213,22 @@ def fused_ada_snake_conv(x: jnp.ndarray, scale: jnp.ndarray,
     x/scale/shift/alpha/n_valid and dilation=1); bias: (C,);
     n_valid: (B,) int32 valid prefix length. Returns (B, T, C) in x.dtype.
 
+    residual: optional (B, T, C) added in the epilogue (the resblock's
+    `x = xt + x` — saves a separate HBM read/modify/write pass).
+    out_stats: additionally return (B, n_t, 2, C) f32 per-tile partial
+    [sum, sumsq] of the masked output — the next AdaIN's instance-norm
+    stats without re-reading the tensor (consumer: blocks._affine_from
+    _stats; one-pass variance, so the bf16 path only).
+
     Falls back to returning None if T has no even tile (caller uses XLA).
     """
     b_sz, t_sz, c = x.shape
     k = w.shape[0] if w_is_hio else w.shape[2]
     halo = dilation * (k - 1) // 2
-    tile = _pick_tile(t_sz, c, jnp.dtype(x.dtype).itemsize)
+    tile = _pick_tile(t_sz, c, jnp.dtype(x.dtype).itemsize,
+                      io_blocks=6 if residual is not None else 4)
     if tile == 0 or tile <= halo:
-        return None
+        return (None, None) if out_stats else None
 
     n_t = t_sz // tile
     h_blk = _pick_halo_block(tile, halo) or tile
@@ -211,33 +245,50 @@ def fused_ada_snake_conv(x: jnp.ndarray, scale: jnp.ndarray,
     # the last two block dims be (multiple of 8, multiple of 128) OR equal
     # to the array dims — (1, C) blocks over a (B, C) array violate that
     # whenever B > 1
+    in_specs = [
+        pl.BlockSpec((1, h_blk, c),
+                     lambda b, t, nv: (b, jnp.maximum(t * r - 1, 0), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, c), lambda b, t, nv: (b, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h_blk, c),
+                     lambda b, t, nv: (b, jnp.minimum((t + 1) * r,
+                                                      n_hb - 1), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, c), lambda b, t, nv: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, c), lambda b, t, nv: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, c), lambda b, t, nv: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, c, c), lambda b, t, nv: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, c), lambda b, t, nv: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x, x, x,
+                scale.reshape(b_sz, 1, c).astype(jnp.float32),
+                shift.reshape(b_sz, 1, c).astype(jnp.float32), alpha2,
+                w_kio, bias.reshape(1, 1, c)]
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((1, tile, c),
+                                     lambda b, t, nv: (b, t, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(residual)
+    out_shape = jax.ShapeDtypeStruct((b_sz, t_sz, c), x.dtype)
+    out_specs = pl.BlockSpec((1, tile, c), lambda b, t, nv: (b, t, 0),
+                             memory_space=pltpu.VMEM)
+    if out_stats:
+        # (1, 1, 2, c) blocks equal the array's last two dims, satisfying
+        # Mosaic's block-shape rule without 8-row padding
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((b_sz, n_t, 2, c), jnp.float32)]
+        out_specs = [out_specs,
+                     pl.BlockSpec((1, 1, 2, c), lambda b, t, nv: (b, t, 0, 0),
+                                  memory_space=pltpu.VMEM)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b_sz, n_t),
-        in_specs=[
-            pl.BlockSpec((1, h_blk, c),
-                         lambda b, t, nv: (b, jnp.maximum(t * r - 1, 0), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, c), lambda b, t, nv: (b, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h_blk, c),
-                         lambda b, t, nv: (b, jnp.minimum((t + 1) * r,
-                                                          n_hb - 1), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c), lambda b, t, nv: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c), lambda b, t, nv: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c), lambda b, t, nv: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, c, c), lambda b, t, nv: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c), lambda b, t, nv: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tile, c), lambda b, t, nv: (b, t, 0),
-                               memory_space=pltpu.VMEM),
-    )
+        num_scalar_prefetch=1, grid=(b_sz, n_t),
+        in_specs=in_specs, out_specs=out_specs)
     # bf16 path: the minimax sin^2 polynomial (error 3e-6 — far below the
     # bf16 quantization the output is about to undergo). f32 path keeps
     # jnp.sin: the kernel's documented exactness vs the XLA reference path
@@ -246,17 +297,16 @@ def fused_ada_snake_conv(x: jnp.ndarray, scale: jnp.ndarray,
                   and os.environ.get("STYLETTS2_TPU_EXACT_SNAKE") != "1")
     kern = functools.partial(_kernel, tile=tile, halo=halo, h_blk=h_blk,
                              k=k, dilation=dilation, use_snake=use_snake,
-                             fast_snake=fast_snake)
+                             fast_snake=fast_snake,
+                             with_res=residual is not None,
+                             with_stats=out_stats)
     flops = 2 * b_sz * t_sz * c * c * k
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b_sz, t_sz, c), x.dtype),
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=2 * b_sz * t_sz * c * x.dtype.itemsize,
             transcendentals=b_sz * t_sz * c if use_snake else 0),
         interpret=interpret,
-    )(n_valid.astype(jnp.int32), x, x, x,
-      scale.reshape(b_sz, 1, c).astype(jnp.float32),
-      shift.reshape(b_sz, 1, c).astype(jnp.float32), alpha2,
-      w_kio, bias.reshape(1, 1, c))
+    )(n_valid.astype(jnp.int32), *operands)

@@ -206,3 +206,85 @@ def test_block_prefers_pallas_only_on_tpu():
     out = B.adain_res_block1_apply(p, x, s, 3, (1, 3, 5), mask,
                                    n_valid=n_valid)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("t,tile_splits", [(400, False), (2000, True)])
+def test_fused_kernel_residual_and_stats(t, tile_splits):
+    """residual epilogue == separate add; out_stats partial sums == masked
+    sum/sumsq of the output (multi-tile case exercises per-tile blocks)."""
+    rng = np.random.default_rng(7)
+    b, c, k, dilation = 2, 128, 7, 3
+    x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+    res = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal((b, c)) * 0.5 + 1.0, jnp.float32)
+    shift = jnp.asarray(rng.standard_normal((b, c)) * 0.1, jnp.float32)
+    alpha = jnp.asarray(np.abs(rng.standard_normal(c)) + 0.5, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((c, c, k)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(c) * 0.01, jnp.float32)
+    n_valid = jnp.asarray([t, t - 137], jnp.int32)
+
+    got, st = VP.fused_ada_snake_conv(x, scale, shift, alpha, w, bias,
+                                      dilation, n_valid, interpret=True,
+                                      residual=res, out_stats=True)
+    assert got is not None
+    base = VP.fused_ada_snake_conv(x, scale, shift, alpha, w, bias,
+                                   dilation, n_valid, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base + res),
+                               atol=2e-5, rtol=1e-5)
+    if tile_splits:
+        assert st.shape[1] > 1, st.shape
+    # stats vs masked host reduction of the actual output
+    mask = (np.arange(t)[None, :] < np.asarray(n_valid)[:, None])[..., None]
+    om = np.asarray(got) * mask
+    tot = np.asarray(st).sum(axis=1)  # (B, 2, C)
+    np.testing.assert_allclose(tot[:, 0], om.sum(axis=1), atol=1e-3,
+                               rtol=1e-4)
+    np.testing.assert_allclose(tot[:, 1], (om * om).sum(axis=1), atol=1e-2,
+                               rtol=1e-4)
+
+
+def test_affine_from_stats_matches_two_pass():
+    """_affine_from_stats (one-pass, kernel partial sums) == the two-pass
+    _adain_affine/_adain_affine_folded, unfolded and folded."""
+    rng = np.random.default_rng(8)
+    b, t, c, sd, f = 2, 240, 128, 16, 2
+    key = jax.random.PRNGKey(3)
+    p = L.adain_1d_init(key, sd, c // f)
+    pf = L.adain_1d_init(key, sd, c)
+    s = jnp.asarray(rng.standard_normal((b, sd)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+    nv = jnp.asarray([t, t - 48], jnp.int32)
+
+    # unfolded (f=1): stats blocks from a host-side tile split
+    n_tiles = 4
+    xs = np.asarray(x).reshape(b, n_tiles, t // n_tiles, c)
+    mask_rows = (np.arange(t)[None, :] < np.asarray(nv)[:, None]).reshape(
+        b, n_tiles, t // n_tiles, 1)
+    stats = np.stack([(xs * mask_rows).sum(axis=2),
+                      ((xs * mask_rows) ** 2).sum(axis=2)], axis=2)
+    sc, sh = B._affine_from_stats(pf, jnp.asarray(stats, jnp.float32), s,
+                                  nv, 1)
+    mask2d = jnp.arange(t)[None, :] < nv[:, None]
+    sc2, sh2 = B._adain_affine(pf, x, s, mask2d)
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(sc2), atol=2e-4,
+                               rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(sh), np.asarray(sh2), atol=2e-4,
+                               rtol=2e-4)
+
+    # folded (f=2): a (B, T, C/f) tensor viewed as (B, T/f, C) with
+    # phase-merged stats
+    nv_f = nv // f
+    x2 = jnp.asarray(rng.standard_normal((b, t, c // f)), jnp.float32)
+    x_f = x2.reshape(b, t // f, c)
+    mask_f = (np.arange(t // f)[None, :]
+              < np.asarray(nv_f)[:, None]).reshape(b, 1, t // f, 1)
+    xs_f = np.asarray(x_f).reshape(b, 1, t // f, c)
+    stats_f = np.stack([(xs_f * mask_f).sum(axis=2),
+                        ((xs_f * mask_f) ** 2).sum(axis=2)], axis=2)
+    sc3, sh3 = B._affine_from_stats(p, jnp.asarray(stats_f, jnp.float32), s,
+                                    nv_f, f)
+    sc4, sh4 = B._adain_affine_folded(p, x_f, s, nv_f, f)
+    np.testing.assert_allclose(np.asarray(sc3), np.asarray(sc4), atol=2e-4,
+                               rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(sh3), np.asarray(sh4), atol=2e-4,
+                               rtol=2e-4)
