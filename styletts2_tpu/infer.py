@@ -625,12 +625,19 @@ class StyleTTS2:
                     dur_dev_of[i] = (dur, row)
 
         # host sync: duration chain (order-dependent via prev_d_mean).
-        # fetch each distinct phase-1 batch buffer ONCE — every device->host
-        # copy is a full tunnel round trip (~10s of ms on a remote chip)
-        host_dur: Dict[int, np.ndarray] = {}
+        # fetch each distinct phase-1 batch buffer ONCE, starting every
+        # copy async before blocking on the first — transfers overlap
+        # each other instead of serializing tunnel round trips (~10s of
+        # ms each on a remote chip)
+        dur_bufs: Dict[int, jnp.ndarray] = {}
         for dur_dev, _row in dur_dev_of:
-            if id(dur_dev) not in host_dur:
-                host_dur[id(dur_dev)] = np.asarray(dur_dev)
+            if id(dur_dev) not in dur_bufs:
+                dur_bufs[id(dur_dev)] = dur_dev
+                try:
+                    dur_dev.copy_to_host_async()
+                except AttributeError:
+                    pass
+        host_dur = {k: np.asarray(v) for k, v in dur_bufs.items()}
         means: List[float] = []
         chain_mean: Dict[int, float] = {}
         chain_rng: Dict[int, np.random.Generator] = {}

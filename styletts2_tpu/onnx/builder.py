@@ -125,7 +125,7 @@ class GraphBuilder:
 
     # -- serialize ---------------------------------------------------------
 
-    def build(self, opset: int = 17) -> bytes:
+    def build(self, opset: int = 19) -> bytes:
         g = P.graph(self.name, self._nodes, self._inits, self._inputs,
                     self._outputs)
         return P.model(g, opset=opset)

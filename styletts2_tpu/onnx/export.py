@@ -18,7 +18,8 @@ already store torch-layout weights, so initializers drop in directly.
 
 Verified against the JAX forward by tests/test_onnx.py using the numpy
 evaluator in styletts2_tpu.onnx.runtime (no onnxruntime in this
-environment); the emitted ops are all standard opset-17 so the file loads
+environment); the emitted ops are all standard opset-19 (the
+reference's export contract, ONNX/export_onnx.py:54) so the file loads
 under onnxruntime/netron unchanged.
 """
 
@@ -680,7 +681,7 @@ class _Exporter:
         wav = b.slice(wav, [4000], [-4000], [0])  # reference trim
         b.add("Identity", [wav], outputs=["output_wav"])
         b.add_output("output_wav", P.FLOAT, ["wav_length"])
-        return b.build(opset=17)
+        return b.build(opset=19)
 
 
 def export_onnx(params: Dict[str, Any], cfg,

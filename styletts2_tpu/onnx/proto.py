@@ -3,7 +3,7 @@
 Only the messages/fields the exporter emits are implemented, with a
 generic schema-driven decoder so tests can round-trip files and external
 tools (netron, onnxruntime) load them unchanged. Field numbers follow
-onnx/onnx.proto3 (IR version 8 / opset 17 era — all stable fields).
+onnx/onnx.proto3 (IR version 9 / opset 19 era — all stable fields).
 
 Same hand-rolled wire approach as styletts2_tpu/tb_events.py (varints +
 length-delimited submessages); no protoc or protobuf runtime needed.
@@ -185,7 +185,7 @@ def graph(name: str, nodes: List[bytes], initializers: List[bytes],
     return out
 
 
-def model(graph_bytes: bytes, opset: int = 17, ir_version: int = 8,
+def model(graph_bytes: bytes, opset: int = 19, ir_version: int = 9,
           producer: str = "styletts2_tpu") -> bytes:
     """ModelProto{ir_version=1, producer_name=2, graph=7, opset_import=8}."""
     opset_id = field_varint(2, opset)  # OperatorSetIdProto{domain=1,version=2}

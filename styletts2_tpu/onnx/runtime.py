@@ -5,7 +5,7 @@ Two jobs:
    engine WITHOUT onnxruntime in the environment (none is installed here).
 2. A no-dependency CPU fallback runtime (`OnnxModel.run`).
 
-Op semantics follow the ONNX operator spec (opset 17) for exactly the
+Op semantics follow the ONNX operator spec (opset 19) for exactly the
 attributes the exporter uses; unsupported attribute combinations raise.
 Convs run as im2col matmuls (BLAS), LSTM as a python scan — fast enough
 for the second-scale test graphs, not a production path.

@@ -28,6 +28,12 @@ calls are dominated by the ~28 ms tunnel floor and measure nothing):
     C= 64 T=180000            16.67 ms          7.72 ms     2.16x
     C= 32 T=360000            25.47 ms (folded) 14.48 ms    1.76x
 
+(Round-4 re-measurement at the hot B=8 150000x128 serving shape, same
+on-device-loop method: XLA 11.9 ms/call vs this kernel 6.1 ms before /
+4.8-6.2 ms after the halo-block + sin^2-polynomial fixes; with the
+residual/stats epilogue fusion the full phase-2 graph went 346 -> 264 ms
+at b=8 fb=1000.)
+
 Set STYLETTS2_TPU_NO_VOCODER_PALLAS=1 to force the XLA path (escape hatch
 for Pallas-toolchain regressions; also what the decision bench compares
 against).

@@ -57,11 +57,11 @@ def test_proto_round_trip():
     y = b.add("MatMul", ["x", w])
     b.add("Identity", [y], outputs=["y"])
     b.add_output("y", P.FLOAT, [1, "T2"])
-    data = b.build(opset=17)
+    data = b.build(opset=19)
 
     m = P.decode(data, "Model")
-    assert m["ir_version"] == [8]
-    assert m["opset_import"][0]["version"] == [17]
+    assert m["ir_version"] == [9]
+    assert m["opset_import"][0]["version"] == [19]
     g = m["graph"][0]
     assert [n["op_type"][0] for n in g["node"]] == ["MatMul", "Identity"]
     t = P.tensor_to_numpy(g["initializer"][0])
