@@ -10,13 +10,29 @@ import jax.numpy as jnp
 
 from styletts2_tpu.checkpoint import (apply_checkpoint, load_checkpoint,
                                       save_checkpoint, strip_for_inference)
-from styletts2_tpu.config import ModelConfig
+from styletts2_tpu.config import load_config
 from styletts2_tpu.models import build_model, param_count
 
 
 @pytest.fixture(scope="module")
 def small_params():
-    cfg = ModelConfig()
+    # genuinely scaled-down (checkpoint/tooling logic is size-independent;
+    # the full-size tree previously made each save/load roundtrip here a
+    # ~580 MB npz pass and this file the slowest of the quick tier)
+    cfg = load_config({
+        "model_params": {
+            "hidden_dim": 64, "max_conv_dim": 64, "dim_in": 16,
+            "style_dim": 32, "max_dur": 10,
+            "ASR_params": {"input_dim": 80, "hidden_dim": 64,
+                           "n_layers": 3, "token_embedding_dim": 128},
+            "decoder": {"type": "hifigan",
+                        "upsample_initial_channel": 64,
+                        "upsample_rates": [10, 6],
+                        "upsample_kernel_sizes": [20, 12],
+                        "resblock_kernel_sizes": [3],
+                        "resblock_dilation_sizes": [[1, 3]]},
+        },
+    }).model_params
     return cfg, build_model(jax.random.PRNGKey(0), cfg)
 
 
