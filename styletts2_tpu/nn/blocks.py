@@ -243,12 +243,81 @@ def _affine_from_stats(p_adain, stats, s, nv_f, f: int):
     return scale, shift
 
 
+def _res_block_folded_pallas(p, x_f, s, dilation, nv_f, f: int,
+                             itemsize: int, kp_max: int):
+    """The fused-Pallas dilation loop on an ALREADY-FOLDED (B, T/f, f*C)
+    tensor (prefolded 'wfold' weights); returns the folded result."""
+    from styletts2_tpu.ops import vocoder_pallas as VP
+
+    t_f = x_f.shape[1]
+    # bf16: fuse the residual add into conv2's epilogue and take the next
+    # AdaIN's stats from the kernel's partial sums (saves one full
+    # read-modify-write + one stats pass per conv pair; see
+    # _affine_from_stats for the f32 gate)
+    fuse_x = (jnp.dtype(x_f.dtype) == jnp.bfloat16
+              and os.environ.get("STYLETTS2_TPU_NO_FUSE_STATS") != "1"
+              and VP._pick_tile(t_f, 128, itemsize, io_blocks=6)
+              > (kp_max - 1) // 2)
+    st = None
+    for i, _d in enumerate(dilation):
+        si = str(i)
+        last = i == len(dilation) - 1
+        if st is None:
+            sc1, sh1 = _adain_affine_folded(p["adain1"][si], x_f, s, nv_f, f)
+        else:
+            sc1, sh1 = _affine_from_stats(p["adain1"][si], st, s, nv_f, f)
+        a1 = jnp.tile(jnp.asarray(p["alpha1"][si]).ravel(), f)
+        a2 = jnp.tile(jnp.asarray(p["alpha2"][si]).ravel(), f)
+        if fuse_x:
+            zt, st_z = VP.fused_ada_snake_conv(
+                x_f, sc1, sh1, a1, p["convs1"][si]["wfold"],
+                p["convs1"][si]["bfold"], 1, nv_f,
+                w_is_hio=True, out_stats=True)
+            sc2, sh2 = _affine_from_stats(p["adain2"][si], st_z, s, nv_f, f)
+            out = VP.fused_ada_snake_conv(
+                zt, sc2, sh2, a2, p["convs2"][si]["wfold"],
+                p["convs2"][si]["bfold"], 1, nv_f,
+                w_is_hio=True, residual=x_f, out_stats=not last)
+            if last:
+                x_f, st = out, None
+            else:
+                x_f, st = out
+        else:
+            zt = VP.fused_ada_snake_conv(
+                x_f, sc1, sh1, a1, p["convs1"][si]["wfold"],
+                p["convs1"][si]["bfold"], 1, nv_f, w_is_hio=True)
+            sc2, sh2 = _adain_affine_folded(p["adain2"][si], zt, s, nv_f, f)
+            zt = VP.fused_ada_snake_conv(
+                zt, sc2, sh2, a2, p["convs2"][si]["wfold"],
+                p["convs2"][si]["bfold"], 1, nv_f, w_is_hio=True)
+            x_f = zt + x_f
+    return x_f
+
+
+def _res_block_folded_xla(p, x_f, s, dilation, nv_f, fold: int):
+    """The XLA folded dilation loop on an ALREADY-FOLDED tensor; returns
+    the folded result. nv_f None = unmasked stats (matches mask=None)."""
+    for i, d in enumerate(dilation):
+        si = str(i)
+        z = L.adain_1d_act_folded_apply(
+            p["adain1"][si], x_f, s, fold, nv_f, act="snake",
+            alpha=jnp.asarray(p["alpha1"][si]).ravel())
+        z = L.conv1d_folded_apply(p["convs1"][si], z, fold, d)
+        z = L.adain_1d_act_folded_apply(
+            p["adain2"][si], z, s, fold, nv_f, act="snake",
+            alpha=jnp.asarray(p["alpha2"][si]).ravel())
+        z = L.conv1d_folded_apply(p["convs2"][si], z, fold, 1)
+        x_f = z + x_f
+    return x_f
+
+
 def adain_res_block1_apply(p, x: jnp.ndarray, s: jnp.ndarray,
                            kernel_size: int, dilation=(1, 3, 5),
                            mask: Optional[jnp.ndarray] = None,
                            n_valid: Optional[jnp.ndarray] = None,
                            fold: Optional[int] = None,
-                           rate_prod: Optional[int] = None) -> jnp.ndarray:
+                           rate_prod: Optional[int] = None,
+                           x_folded: Optional[int] = None) -> jnp.ndarray:
     """x: (B, T, C); the weight-norm convs keep T (SAME padding).
 
     When `n_valid` is given (prefix-mask lengths — inference), the
@@ -261,7 +330,30 @@ def adain_res_block1_apply(p, x: jnp.ndarray, s: jnp.ndarray,
     On TPU with prefix-masked inference inputs (mask + n_valid given) each
     AdaIN+Snake+conv group runs as one fused Pallas kernel
     (ops/vocoder_pallas.py) — the DEFAULT hot path, 1.8-2.2x the XLA
-    path at every stage (see the kernel header for the measured table)."""
+    path at every stage (see the kernel header for the measured table).
+
+    x_folded: the caller passes x ALREADY time-folded by this factor
+    (B, T/f, f*C) and takes the folded result back — the decoder's
+    stage-folded fast path (hifigan_generator_apply keeps whole low-C
+    stages folded so the per-block fold/unfold boundary copies vanish).
+    n_valid stays at the ORIGINAL stage rate."""
+    if x_folded is not None:
+        f = x_folded
+        nv_f = None if n_valid is None else n_valid // f
+        if (jax.default_backend() == "tpu"
+                and "wfold" in p["convs1"]["0"]
+                and os.environ.get("STYLETTS2_TPU_NO_VOCODER_PALLAS") != "1"):
+            from styletts2_tpu.ops import vocoder_pallas as VP
+
+            itemsize = jnp.dtype(x.dtype).itemsize
+            kp_max = max(p[cs][str(i)]["wfold"].shape[0]
+                         for cs in ("convs1", "convs2")
+                         for i in range(len(dilation)))
+            if VP._pick_tile(x.shape[1], 128, itemsize) > (kp_max - 1) // 2:
+                return _res_block_folded_pallas(p, x, s, dilation, nv_f, f,
+                                                itemsize, kp_max)
+        return _res_block_folded_xla(p, x, s, dilation, nv_f, f)
+
     c = x.shape[-1]
     # Pallas default gate: inference prefix-mask contract (mask carries the
     # stats semantics, n_valid the kernel's zero boundary), fused weight
@@ -292,57 +384,9 @@ def adain_res_block1_apply(p, x: jnp.ndarray, s: jnp.ndarray,
             if tile_f > (kp_max - 1) // 2:
                 b_sz, t_sz = x.shape[0], x.shape[1]
                 x_f = x.reshape(b_sz, t_sz // f, f * c)
-                nv_f = n_valid // f
-                # bf16: fuse the residual add into conv2's epilogue and
-                # take the next AdaIN's stats from the kernel's partial
-                # sums (saves one full read-modify-write + one stats pass
-                # per conv pair; see _affine_from_stats for the f32 gate)
-                fuse_x = (jnp.dtype(x.dtype) == jnp.bfloat16
-                          and os.environ.get(
-                              "STYLETTS2_TPU_NO_FUSE_STATS") != "1"
-                          and VP._pick_tile(t_sz // f, 128, itemsize,
-                                            io_blocks=6)
-                          > (kp_max - 1) // 2)
-                st = None
-                for i, _d in enumerate(dilation):
-                    si = str(i)
-                    last = i == len(dilation) - 1
-                    if st is None:
-                        sc1, sh1 = _adain_affine_folded(p["adain1"][si],
-                                                        x_f, s, nv_f, f)
-                    else:
-                        sc1, sh1 = _affine_from_stats(p["adain1"][si], st,
-                                                      s, nv_f, f)
-                    a1 = jnp.tile(jnp.asarray(p["alpha1"][si]).ravel(), f)
-                    a2 = jnp.tile(jnp.asarray(p["alpha2"][si]).ravel(), f)
-                    if fuse_x:
-                        zt, st_z = VP.fused_ada_snake_conv(
-                            x_f, sc1, sh1, a1, p["convs1"][si]["wfold"],
-                            p["convs1"][si]["bfold"], 1, nv_f,
-                            w_is_hio=True, out_stats=True)
-                        sc2, sh2 = _affine_from_stats(p["adain2"][si],
-                                                      st_z, s, nv_f, f)
-                        out = VP.fused_ada_snake_conv(
-                            zt, sc2, sh2, a2, p["convs2"][si]["wfold"],
-                            p["convs2"][si]["bfold"], 1, nv_f,
-                            w_is_hio=True, residual=x_f,
-                            out_stats=not last)
-                        if last:
-                            x_f, st = out, None
-                        else:
-                            x_f, st = out
-                    else:
-                        zt = VP.fused_ada_snake_conv(
-                            x_f, sc1, sh1, a1, p["convs1"][si]["wfold"],
-                            p["convs1"][si]["bfold"], 1, nv_f,
-                            w_is_hio=True)
-                        sc2, sh2 = _adain_affine_folded(p["adain2"][si],
-                                                        zt, s, nv_f, f)
-                        zt = VP.fused_ada_snake_conv(
-                            zt, sc2, sh2, a2, p["convs2"][si]["wfold"],
-                            p["convs2"][si]["bfold"], 1, nv_f,
-                            w_is_hio=True)
-                        x_f = zt + x_f
+                x_f = _res_block_folded_pallas(p, x_f, s, dilation,
+                                               n_valid // f, f, itemsize,
+                                               kp_max)
                 return x_f.reshape(b_sz, t_sz, c)
 
         tile = VP._pick_tile(x.shape[1], c, itemsize)
@@ -410,22 +454,13 @@ def adain_res_block1_apply(p, x: jnp.ndarray, s: jnp.ndarray,
                 fold = f
     if fold > 1:
         b_sz, t_sz = x.shape[0], x.shape[1]
-        x_f = x.reshape(b_sz, t_sz // fold, fold * c)
         # stats follow `mask` exactly like the unfolded path: mask=None
         # means unmasked stats and no re-zeroing (n_valid alone only gates
         # the fold and feeds the optional Pallas kernel)
         nv_f = None if mask is None else n_valid // fold
-        for i, d in enumerate(dilation):
-            si = str(i)
-            z = L.adain_1d_act_folded_apply(
-                p["adain1"][si], x_f, s, fold, nv_f, act="snake",
-                alpha=jnp.asarray(p["alpha1"][si]).ravel())
-            z = L.conv1d_folded_apply(p["convs1"][si], z, fold, d)
-            z = L.adain_1d_act_folded_apply(
-                p["adain2"][si], z, s, fold, nv_f, act="snake",
-                alpha=jnp.asarray(p["alpha2"][si]).ravel())
-            z = L.conv1d_folded_apply(p["convs2"][si], z, fold, 1)
-            x_f = z + x_f
+        x_f = _res_block_folded_xla(p, x.reshape(b_sz, t_sz // fold,
+                                                 fold * c),
+                                    s, dilation, nv_f, fold)
         return x_f.reshape(b_sz, t_sz, c)
     for i, d in enumerate(dilation):
         si = str(i)

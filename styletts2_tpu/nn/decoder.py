@@ -20,6 +20,7 @@ training-time F0/N smoothing).
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -201,41 +202,110 @@ def hifigan_generator_apply(p, x: jnp.ndarray, s: jnp.ndarray,
     if sample_mask is not None:
         har_source = jnp.where(sample_mask[..., None], har_source, 0.0)
 
+    # stage-folded fast path (inference, prefix masks): low-channel stages
+    # keep their tensors TIME-FOLDED end to end — the noise conv produces a
+    # folded output directly (prefolded strided weight, wsfold), the
+    # source add / resblock accumulation / conv_post all stay on (T/f,
+    # 128)-lane tensors, and only ONE fold boundary per stage remains (the
+    # transposed-conv output). Exactly the same taps and zero pads as the
+    # unfolded path — the per-block fold/unfold boundary copies (~15 ms at
+    # b=8 fb=1000) and the 4x-lane-padded sample-rate conv_post/noise
+    # convs (~28 ms) are what disappear. STYLETTS2_TPU_STAGE_FOLD=0
+    # disables; =1 forces (CPU parity tests).
+    force_sf = os.environ.get("STYLETTS2_TPU_STAGE_FOLD")
+    b_sz = x.shape[0]
+    c0 = cfg.upsample_initial_channel
+
     for i, (u, k) in enumerate(zip(rates, cfg.upsample_kernel_sizes)):
         m_in = stage_mask(i)
         m_out = stage_mask(i + 1)
         x = L.snake(x, B._alpha_cl(p["alphas"][str(i)], x.dtype))
         if m_in is not None:
             x = jnp.where(m_in[..., None], x, 0.0)
-        # source injection: strided conv from sample rate to this stage's rate
-        if i + 1 < n_up:
+        rp = int(np.prod(rates[: i + 1]))
+        c_cur = c0 // (2 ** (i + 1))
+        f_st = 128 // c_cur if (0 < c_cur < 128 and 128 % c_cur == 0) else 1
+        nc = p["noise_convs"][str(i)]
+        rb0 = p["resblocks"][str(i * n_kernels)]
+        on_tpu = jax.default_backend() == "tpu"
+        stage_folded = (
+            f_st > 1 and n_val is not None and force_sf != "0"
+            and L.seqpar_ctx() is None and rp % f_st == 0
+            and ((on_tpu and "wfold" in rb0["convs1"]["0"]) or force_sf == "1"))
+        sfold_ok = ("wsfold" in nc and force_sf != "0"
+                    and L.seqpar_ctx() is None and n_val is not None
+                    and (on_tpu or force_sf == "1")
+                    and har_source.shape[1] % int(nc["wsfold"].shape[1]) == 0)
+
+        # source injection: strided conv from sample rate to this stage's
+        # rate — folded form when the prefolded weight exists
+        if sfold_ok:
+            x_source = L.conv1d_strided_folded_apply(nc, har_source, x.dtype)
+            f_out = nc["wsfold"].shape[2] // c_cur
+            if f_out > 1 and not stage_folded:
+                x_source = x_source.reshape(b_sz, x_source.shape[1] * f_out,
+                                            c_cur)
+            elif f_out == 1 and stage_folded:
+                x_source = x_source.reshape(b_sz, x_source.shape[1] // f_st,
+                                            f_st * c_cur)
+        elif i + 1 < n_up:
             stride_f0 = int(np.prod(rates[i + 1:]))
-            x_source = L.conv1d_apply(p["noise_convs"][str(i)],
-                                      har_source.astype(x.dtype),
+            x_source = L.conv1d_apply(nc, har_source.astype(x.dtype),
                                       stride=stride_f0,
                                       padding=(stride_f0 + 1) // 2)
+            if stage_folded:
+                x_source = x_source.reshape(b_sz, x_source.shape[1] // f_st,
+                                            f_st * c_cur)
         else:
-            x_source = L.conv1d_apply(p["noise_convs"][str(i)],
-                                      har_source.astype(x.dtype))
+            x_source = L.conv1d_apply(nc, har_source.astype(x.dtype))
+            if stage_folded:
+                x_source = x_source.reshape(b_sz, x_source.shape[1] // f_st,
+                                            f_st * c_cur)
+        nv_out = stage_count(i + 1)
         x_source = B.adain_res_block1_apply(
             p["noise_res"][str(i)], x_source, s,
-            7 if i + 1 < n_up else 11, (1, 3, 5), m_out,
-            n_valid=stage_count(i + 1),
-            rate_prod=int(np.prod(rates[: i + 1])))
+            7 if i + 1 < n_up else 11, (1, 3, 5),
+            None if stage_folded else m_out,
+            n_valid=nv_out, rate_prod=rp,
+            x_folded=f_st if stage_folded else None)
         x = L.conv_transpose1d_apply(p["ups"][str(i)], x, stride=u,
                                      padding=u // 2 + u % 2,
                                      output_padding=u % 2)
+        if stage_folded:
+            x = x.reshape(b_sz, x.shape[1] // f_st, f_st * c_cur)
         x = x + x_source
         xs = None
         for j in range(n_kernels):
             r = B.adain_res_block1_apply(
                 p["resblocks"][str(i * n_kernels + j)], x, s,
                 cfg.resblock_kernel_sizes[j],
-                tuple(cfg.resblock_dilation_sizes[j]), m_out,
-                n_valid=stage_count(i + 1),
-                rate_prod=int(np.prod(rates[: i + 1])))
+                tuple(cfg.resblock_dilation_sizes[j]),
+                None if stage_folded else m_out,
+                n_valid=nv_out, rate_prod=rp,
+                x_folded=f_st if stage_folded else None)
             xs = r if xs is None else xs + r
         x = xs / n_kernels
+        last = i == n_up - 1
+        if stage_folded and not (last and "wfold" in p["conv_post"]):
+            x = x.reshape(b_sz, x.shape[1] * f_st, c_cur)
+            stage_folded = False
+
+    if stage_folded:
+        # conv_post + final snake, still folded: (B, T/f, 128) ->
+        # (B, T/f, f) -> (B, T, 1). Valid rows are whole (n_samp = n_val *
+        # prod(rates), and prod(rates) % f == 0), so a row-level mask is
+        # exact.
+        f = f_st
+        a_post = jnp.tile(jnp.asarray(p["alphas"][str(n_up)]).reshape(-1),
+                          f).reshape(1, 1, -1).astype(x.dtype)
+        x = L.snake(x, a_post)
+        if n_val is not None:
+            rows = jnp.arange(x.shape[1], dtype=jnp.int32)[None, :]
+            n_rows = (n_val * int(np.prod(rates))) // f
+            x = jnp.where((rows < n_rows[:, None])[..., None], x, 0.0)
+        x = L.conv1d_folded_apply(p["conv_post"], x, f)
+        return jnp.tanh(x).reshape(b_sz, x.shape[1] * f, 1)
+
     x = L.snake(x, B._alpha_cl(p["alphas"][str(n_up)], x.dtype))
     if sample_mask is not None:
         x = jnp.where(sample_mask[..., None], x, 0.0)
@@ -273,6 +343,21 @@ def prefold_generator_params(p_dec, cfg: DecoderConfig):
 
     for i in range(n_up):
         c_cur = c0 // (2 ** (i + 1))
+        # prefold EVERY stage's noise conv: its input is the (L, 1)
+        # sample-rate harmonic source — the worst possible TPU layout (1
+        # of 128 lanes) — and folding the source by stride*f_out turns
+        # the strided conv into a kernel-3 full-lane conv whose output is
+        # already stage-folded (layers.fold_strided_conv1d_weight_np)
+        f_out = 128 // c_cur if (c_cur < 128 and 128 % c_cur == 0) else 1
+        stride = int(np.prod(rates[i + 1:])) if i + 1 < n_up else 1
+        pad = (stride + 1) // 2 if i + 1 < n_up else 0
+        ncp = gen["noise_convs"][str(i)]
+        if "weight" in ncp and np.asarray(ncp["weight"]).shape[2] <= 2 * stride:
+            wsf = L.fold_strided_conv1d_weight_np(
+                np.asarray(ncp["weight"]), stride, f_out, pad)
+            if wsf is not None:
+                ncp["wsfold"] = wsf
+                ncp["bsfold"] = np.tile(np.asarray(ncp["bias"]), f_out)
         # fold every under-128-lane stage: the fused Pallas kernel (and the
         # folded XLA fallback at C<=32) run these stages on (T/f, 128)
         # tensors — full MXU lanes AND no 128-lane HBM padding (unfolded
@@ -287,6 +372,12 @@ def prefold_generator_params(p_dec, cfg: DecoderConfig):
             prefold_block(gen["resblocks"][str(i * n_kernels + j)],
                           cfg.resblock_kernel_sizes[j],
                           tuple(cfg.resblock_dilation_sizes[j]), f)
+        if i == n_up - 1 and "weight" in gen["conv_post"]:
+            # conv_post (C -> 1, k7) folded: (B, T/f, 128) -> (B, T/f, f)
+            cp = gen["conv_post"]
+            cp["wfold"] = L.fold_conv1d_weight_np(np.asarray(cp["weight"]),
+                                                  f, 1)
+            cp["bfold"] = np.tile(np.asarray(cp["bias"]), f)
     return p_dec
 
 

@@ -535,6 +535,51 @@ def fold_conv1d_weight_np(w: np.ndarray, f: int, dilation: int) -> np.ndarray:
     return wp
 
 
+def fold_strided_conv1d_weight_np(w: np.ndarray, stride: int, f_out: int,
+                                  padding: int) -> np.ndarray:
+    """Fold a single-input-channel STRIDED conv (the HiFi-GAN noise convs,
+    reference hifigan.py:296-305: Conv1d(1, C, k, stride=s, padding=pad)
+    on the sample-rate harmonic source) into a stride-1 kernel-3 conv on
+    the source folded by F = stride*f_out:
+
+        y[B, L/F, f_out*C] = conv(har_f[B, L/F, F], wp, pad=1)
+
+    equals the unfolded conv's output time-folded by f_out. A (L, 1)
+    sample-rate operand is the worst possible TPU layout (1 of 128 lanes);
+    folded, the conv reads F-lane rows and writes f_out*C-lane rows.
+    Requires every tap to land within one folded row of its output row
+    (k <= 2*stride guarantees it; the reference uses k = 2*stride)."""
+    c_out, c_in, k = w.shape
+    assert c_in == 1, "noise convs are single-channel-in"
+    F = stride * f_out
+    wp = np.zeros((3, F, f_out * c_out), np.asarray(w).dtype)
+    wt = np.asarray(w)[:, 0, :]  # (C_out, k)
+    for p in range(f_out):
+        for j in range(k):
+            u = p * stride - padding + j
+            r, e = divmod(u, F)
+            if not -1 <= r <= 1:
+                return None  # tap escapes the 3-row window (nonstandard
+                # kernel/stride combo) — caller skips the prefold
+            wp[r + 1, e, p * c_out:(p + 1) * c_out] += wt[:, j]
+    return wp
+
+
+def conv1d_strided_folded_apply(p, har: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Apply a prefolded noise conv ('wsfold'/'bsfold',
+    fold_strided_conv1d_weight_np) to the (B, L, 1) harmonic source:
+    returns (B, L/F, f_out*C) — the conv output time-folded by f_out
+    (f_out = wsfold.shape[2] // C; F = stride * f_out)."""
+    wp = p["wsfold"].astype(dtype)
+    F = wp.shape[1]
+    b, l, _ = har.shape
+    har_f = har[..., 0].reshape(b, l // F, F).astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        har_f, wp, window_strides=(1,), padding=[(1, 1)],
+        dimension_numbers=("NHC", "HIO", "NHC"), precision=_prec(har_f))
+    return y + p["bsfold"].astype(dtype)
+
+
 def conv1d_folded_apply(p, x_f: jnp.ndarray, f: int,
                         dilation: int = 1) -> jnp.ndarray:
     """SAME conv on a time-folded tensor x_f (B, T/f, f*C). Uses the

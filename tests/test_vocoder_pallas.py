@@ -288,3 +288,47 @@ def test_affine_from_stats_matches_two_pass():
                                rtol=2e-4)
     np.testing.assert_allclose(np.asarray(sh3), np.asarray(sh4), atol=2e-4,
                                rtol=2e-4)
+
+
+def test_stage_folded_generator_matches_unfolded(monkeypatch):
+    """decoder.hifigan_generator_apply's stage-folded fast path (folded
+    noise convs via fold_strided_conv1d_weight_np, x_folded resblocks,
+    folded conv_post) == the unfolded path, f32, with a padded bucket."""
+    from styletts2_tpu.config import DecoderConfig
+    from styletts2_tpu.convert import fuse_weight_norm
+    from styletts2_tpu.nn import decoder as DEC
+
+    cfg = DecoderConfig(type="hifigan",
+                        resblock_kernel_sizes=[3, 7],
+                        upsample_rates=[2, 2, 2, 2],
+                        upsample_initial_channel=128,
+                        resblock_dilation_sizes=[[1, 3, 5], [1, 3, 5]],
+                        upsample_kernel_sizes=[4, 4, 4, 4])
+    key = jax.random.PRNGKey(5)
+    p_plain = fuse_weight_norm(
+        DEC.hifigan_generator_init(key, cfg, style_dim=32))
+    p_fold = DEC.prefold_generator_params(
+        {"generator": jax.tree.map(lambda v: v, p_plain)}, cfg)["generator"]
+    # every noise conv and conv_post got a prefolded weight
+    for i in range(4):
+        assert "wsfold" in p_fold["noise_convs"][str(i)], i
+    assert "wfold" in p_fold["conv_post"]
+
+    rng = np.random.default_rng(11)
+    b, t = 2, 40
+    x = jnp.asarray(rng.standard_normal((b, t, 128)), jnp.float32) * 0.3
+    s = jnp.asarray(rng.standard_normal((b, 32)), jnp.float32)
+    f0 = jnp.asarray(np.abs(rng.standard_normal((b, t))) * 100 + 80,
+                     jnp.float32)
+    lens = np.array([t, 28])
+    mask = jnp.arange(t)[None, :] < jnp.asarray(lens)[:, None]
+
+    monkeypatch.setenv("STYLETTS2_TPU_STAGE_FOLD", "0")
+    want = DEC.hifigan_generator_apply(p_plain, x, s, f0, None, cfg,
+                                       frame_mask=mask)
+    monkeypatch.setenv("STYLETTS2_TPU_STAGE_FOLD", "1")
+    got = DEC.hifigan_generator_apply(p_fold, x, s, f0, None, cfg,
+                                      frame_mask=mask)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-3)
