@@ -478,13 +478,52 @@ def istft_vocos(
 # ---------------------------------------------------------------------------
 
 
+def _interp_linear_int_up(x: jnp.ndarray, u: int) -> jnp.ndarray:
+    """Integer-factor linear upsample WITHOUT gathers: output q*u + r
+    interpolates source q-1/q/q+1 with a FIXED per-phase weight, so the
+    whole resize is two edge-clamped shifts + a (N, 1)x(u,) broadcast —
+    one write of the output, no waveform-rate index tensors (the gather
+    form cost ~18 ms per phase-2 batch at 600k samples on v5e). Exact
+    align_corners=False math: pos of output i is (i+0.5)/u - 0.5 = q + fr
+    with fr = (r+0.5)/u - 0.5 (this decomposition is also the better-
+    conditioned f32: q + fr instead of (i+0.5)*scale at i ~ 6e5)."""
+    n = x.shape[-1]
+    r = np.arange(u, dtype=np.float32)
+    fr = (r + 0.5) / u - 0.5                      # (u,)
+    use_prev = fr < 0
+    w_nb = np.where(use_prev, -fr, fr).astype(np.float32)  # neighbor weight
+    x_prev = jnp.concatenate([x[..., :1], x[..., :-1]], axis=-1)
+    x_next = jnp.concatenate([x[..., 1:], x[..., -1:]], axis=-1)
+    # neighbor per phase: prev for fr<0 (left-leaning), next otherwise.
+    # At the edges prev/next clamp to x itself, reproducing the reference's
+    # frac clipping (out = x[0] / x[n-1]) automatically.
+    nb = jnp.where(jnp.asarray(use_prev), x_prev[..., None],
+                   x_next[..., None])             # (..., N, u)
+    w = jnp.asarray(w_nb).astype(x.dtype)
+    out = x[..., None] * (1.0 - w) + nb * w
+    return out.reshape(x.shape[:-1] + (n * u,))
+
+
 def interpolate_linear(x: jnp.ndarray, out_size: int) -> jnp.ndarray:
     """1-D linear resize on the last axis, align_corners=False.
 
     torch F.interpolate(mode='linear') parity: source position of output i is
-    (i + 0.5) * (in/out) - 0.5, edge-clamped. Indices are built in-graph
-    (as numpy constants these reach ~17 MB at waveform rates)."""
+    (i + 0.5) * (in/out) - 0.5, edge-clamped. Integer up/down factors take
+    gather-free broadcast/strided-slice forms; the general case builds
+    indices in-graph (as numpy constants these reach ~17 MB at waveform
+    rates)."""
     in_size = x.shape[-1]
+    if out_size > in_size and out_size % in_size == 0:
+        return _interp_linear_int_up(x, out_size // in_size)
+    if out_size <= in_size and in_size % out_size == 0:
+        # integer downsample: pos = i*D + (D-1)/2 — a strided slice (D
+        # odd: exact sample; D even: midpoint of two adjacent samples)
+        d = in_size // out_size
+        if d % 2 == 1:
+            return x[..., (d - 1) // 2::d]
+        lo = x[..., d // 2 - 1::d]
+        hi = x[..., d // 2::d]
+        return lo + (hi - lo) * jnp.asarray(0.5, x.dtype)
     scale = in_size / out_size
     pos = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
     lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, in_size - 1)
