@@ -301,6 +301,15 @@ class StyleTTS2:
             return x
         return jax.device_put(x, self._data_sharding)
 
+    def _put_replicated(self, x):
+        """Replicate a (1, D)-style conditioning input over the mesh
+        (no-op without a mesh)."""
+        x = jnp.asarray(x)
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(x, NamedSharding(self.mesh, P()))
+
     # ------------------------------------------------------------------
     # jitted graphs
     # ------------------------------------------------------------------
@@ -315,7 +324,13 @@ class StyleTTS2:
         return SE.apply(params["style_encoder"], mel)
 
     def _phase1_impl(self, params, tokens, mask, s):
-        """tokens (B, Tb) -> (t_en, d, durations). reference inference.py:239-246."""
+        """tokens (B, Tb) -> (t_en, d, durations). reference inference.py:239-246.
+
+        s may be (1, D): broadcast to the batch IN-GRAPH — an eager
+        broadcast_to before the call is a ~28 ms blocking round trip per
+        group on a tunneled chip."""
+        if s.shape[0] == 1 and tokens.shape[0] != 1:
+            s = jnp.broadcast_to(s, (tokens.shape[0],) + s.shape[1:])
         t_en = TE.apply(params["text_encoder"], tokens, mask)
         d = PR.encode_duration(params["predictor"], t_en, s, mask)
         dur_logits = PR.duration_head(params["predictor"], d, mask)
@@ -325,7 +340,9 @@ class StyleTTS2:
 
     def _phase2_impl(self, params, t_en, d, s, durs, n_frames: int):
         """durations -> alignment -> F0/N -> vocoder. reference
-        inference.py:258-270."""
+        inference.py:258-270. s may be (1, D) — broadcast in-graph."""
+        if s.shape[0] == 1 and t_en.shape[0] != 1:
+            s = jnp.broadcast_to(s, (t_en.shape[0],) + s.shape[1:])
         align = ALN.build_alignment(durs, n_frames)  # (B, Tb, Fb)
         total = durs.sum(axis=1)
         frame_mask = jnp.arange(n_frames)[None, :] < total[:, None]
@@ -603,9 +620,17 @@ class StyleTTS2:
         for i, tb in enumerate(tbs):
             by_tb.setdefault(tb, []).append(i)
 
+        # style: ONE (1, D) device copy, broadcast to each batch IN-GRAPH
+        # (_phase1_impl/_phase2_impl) — the former per-group eager
+        # broadcast_to + device_put pair cost two blocking ~28 ms tunnel
+        # round trips per group
+        s_dev = self._put_replicated(s)
+
         t_en_of = [None] * n_chunks
         d_of = [None] * n_chunks
         dur_dev_of = [None] * n_chunks
+        groups1 = []
+        host1 = []
         for tb, idxs in by_tb.items():
             for part in range(0, len(idxs), self.max_batch):
                 group = idxs[part: part + self.max_batch]
@@ -615,14 +640,18 @@ class StyleTTS2:
                 for row, i in enumerate(group):
                     tokens[row, : len(tokenized[i])] = tokenized[i]
                     mask[row, : len(tokenized[i])] = True
-                sb = self._put_data(jnp.broadcast_to(s, (bb,) + s.shape[1:]))
-                t_en, d, dur = self._phase1(self.params,
-                                            self._put_data(tokens),
-                                            self._put_data(mask), sb)
-                for row, i in enumerate(group):
-                    t_en_of[i] = (t_en, row)
-                    d_of[i] = (d, row)
-                    dur_dev_of[i] = (dur, row)
+                groups1.append(group)
+                host1.append((tokens, mask))
+        # one bulk host->device transfer for every group's inputs
+        dev1 = (jax.device_put(host1, self._data_sharding)
+                if self._data_sharding is not None
+                else jax.device_put(host1))
+        for group, (tokens_d, mask_d) in zip(groups1, dev1):
+            t_en, d, dur = self._phase1(self.params, tokens_d, mask_d, s_dev)
+            for row, i in enumerate(group):
+                t_en_of[i] = (t_en, row)
+                d_of[i] = (d, row)
+                dur_dev_of[i] = (dur, row)
 
         # host sync: duration chain (order-dependent via prev_d_mean).
         # fetch each distinct phase-1 batch buffer ONCE, starting every
@@ -693,7 +722,30 @@ class StyleTTS2:
             by_f.setdefault(_bucket(self.cfg.tpu.frame_buckets,
                                     piece_total[p]), []).append(p)
 
+        # merge under-filled frame buckets upward when the per-CALL serial
+        # scan constant outweighs the padded-row compute. A frame bucket is
+        # pure padding (the alignment zero-pads and the audio is trimmed to
+        # piece_total), so merging is EXACT — it only trades wasted vocoder
+        # rows for fewer phase-2 dispatches. Real-duration serving scatters
+        # chunks over neighboring buckets (the stabilization noise nudges
+        # totals across boundaries), which otherwise multiplies the ~0.08
+        # ms/frame per-call BiLSTM constant. Cost model measured on v5e
+        # (hifigan, bf16): scan ~0.083 ms/frame/call; vocoder row ~0.074
+        # ms/frame/row.
+        _SCAN_MS_PER_FRAME, _ROW_MS_PER_FRAME = 0.083, 0.074
+        fbs_sorted = sorted(by_f)
+        for a, b_next in zip(fbs_sorted, fbs_sorted[1:]):
+            na, nb = len(by_f[a]), len(by_f[b_next])
+            calls = lambda n: -(-n // self.max_batch)
+            before = (calls(na) * a + calls(nb) * b_next) * _SCAN_MS_PER_FRAME
+            after = (calls(na + nb) * b_next * _SCAN_MS_PER_FRAME
+                     + na * (b_next - a) * _ROW_MS_PER_FRAME)
+            if after < before:
+                by_f[b_next] = by_f[b_next] + by_f.pop(a)
+
         wav_dev_of_piece = [None] * len(piece_chunk)
+        groups2 = []
+        host2 = []
         for fb, idxs in by_f.items():
             if self.mesh is None:
                 groups = _partition_exact(idxs, self.batch_buckets)
@@ -740,11 +792,19 @@ class StyleTTS2:
                 for row, p in enumerate(rows):
                     a, b = piece_span[p]
                     durs[row, : b - a] = pred_of[piece_chunk[p]][a:b]
-                sb = self._put_data(jnp.broadcast_to(s, (bb,) + s.shape[1:]))
-                wav = self._phase2(self.params, t_en, d, sb,
-                                   self._put_data(durs), n_frames=fb)
-                for row, p in enumerate(group):
-                    wav_dev_of_piece[p] = (wav, row)
+                groups2.append((fb, group, t_en, d))
+                host2.append(durs)
+        # one bulk host->device transfer of every group's durations, then
+        # dispatch all phase-2 calls back to back (per-group device_puts
+        # each paid a blocking tunnel round trip between dispatches)
+        dev2 = (jax.device_put(host2, self._data_sharding)
+                if self._data_sharding is not None
+                else jax.device_put(host2))
+        for (fb, group, t_en, d), durs_d in zip(groups2, dev2):
+            wav = self._phase2(self.params, t_en, d, s_dev, durs_d,
+                               n_frames=fb)
+            for row, p in enumerate(group):
+                wav_dev_of_piece[p] = (wav, row)
 
         # chunk i's audio = its pieces' audio, in token order
         wav_parts_of = [[wav_dev_of_piece[p] + (piece_total[p],)
@@ -1077,9 +1137,11 @@ class StyleTTS2:
         s = jnp.zeros((1, self.cfg.model_params.style_dim), jnp.float32)
         for sec in style_seconds:
             self._style_fn(self.params, jnp.zeros((1, sec * self.sr)))
+        # the runtime passes style as a REPLICATED (1, D) row (broadcast
+        # in-graph) — warm exactly that signature
+        sb = self._put_replicated(s)
         sizes = tuple(batch_sizes) if batch_sizes else self.batch_buckets[:1]
         for bb in sizes:
-            sb = self._put_data(jnp.broadcast_to(s, (bb,) + s.shape[1:]))
             for tb in token_buckets or self.cfg.tpu.token_buckets[:2]:
                 tokens = self._put_data(np.zeros((bb, tb), np.int32))
                 mask = self._put_data(np.ones((bb, tb), bool))
