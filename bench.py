@@ -244,9 +244,15 @@ def main():
 
     per_decoder = {}
     engines = {}
-    order = [headline_dec] + [d for d in ("hifigan", "istftnet", "vocos")
-                              if d != headline_dec and all_decoders]
-    for dec in order:
+    t_start = time.perf_counter()
+    # secondary decoders run LAST under a soft deadline (below): the
+    # headline + serving metrics must land even if a cold run on a slow
+    # host would otherwise blow the driver budget (~21 min measured for a
+    # fully-cold all-sections run)
+    secondary = [d for d in ("hifigan", "istftnet", "vocos")
+                 if d != headline_dec and all_decoders]
+
+    def measure_decoder(dec):
         _progress(f"building {dec} engine")
         engine = build_engine(dec, dtype)
         inv_rtf, p50_ms, audio_s = measure(engine)
@@ -265,6 +271,8 @@ def main():
         }
         engines[dec] = engine
         _progress(f"{dec} measured")
+
+    measure_decoder(headline_dec)
 
     # REAL duration path on the headline decoder, rate-calibrated: one probe
     # call reads the duration head's mean frames/token (random weights
@@ -380,6 +388,18 @@ def main():
         "audio_s_per_batch": round(total_d / reps8, 1),
     }
 
+    # secondary decoders (istftnet / vocos), skipped past the soft
+    # deadline so the headline + serving metrics always land inside the
+    # driver budget
+    soft_deadline = float(os.environ.get("BENCH_SOFT_DEADLINE_S", "1250"))
+    skipped = []
+    for dec in secondary:
+        if time.perf_counter() - t_start > soft_deadline:
+            skipped.append(dec)
+            _progress(f"SKIPPING {dec} (past soft deadline)")
+            continue
+        measure_decoder(dec)
+
     _progress("done")
     h = per_decoder[headline_dec]
     result = {
@@ -403,6 +423,7 @@ def main():
             "serving_duration_path": "real (duration_scale-calibrated), "
                                      "stabilize=True",
             "serving_breakdown": serving_breakdown,
+            "skipped_decoders_past_deadline": skipped,
             "device": str(jax.devices()[0]),
         },
     }
