@@ -215,6 +215,8 @@ def hifigan_generator_apply(p, x: jnp.ndarray, s: jnp.ndarray,
     force_sf = os.environ.get("STYLETTS2_TPU_STAGE_FOLD")
     b_sz = x.shape[0]
     c0 = cfg.upsample_initial_channel
+    stage_folded = False
+    f_st = 1
 
     for i, (u, k) in enumerate(zip(rates, cfg.upsample_kernel_sizes)):
         m_in = stage_mask(i)
