@@ -168,8 +168,36 @@ def main(out_dir=None):
     save_fixture(os.path.join(out_dir, "golden_vocos_generator.npz"), mod,
                  inp, {"wav": out.numpy()})
 
+    export_asr(out_dir)
     export_composed_train(out_dir)
     export_losses(out_dir)
+
+
+def export_asr(out_dir):
+    """ASR aligner direct golden (reference ASR/models.py:8-186): full
+    forward — CTC logits, teacher-forced ASRS2S logits, soft attention.
+    The 10% token->unk masking has no self.training gate (ASR/models.py:126),
+    so torch.rand is patched to ones; the replay side runs rng=None."""
+    from Modules.ASR.models import ASRCNN
+
+    spec = SPECS["asr"]
+    torch.manual_seed(40)
+    mod = ASRCNN(**spec).eval()
+    inp = make_inputs("asr")
+    mel = torch.from_numpy(inp["mel"])
+    text = torch.from_numpy(inp["text"])
+    lengths = torch.from_numpy(inp["lengths"])
+    pad_mask = mod.length_to_mask(lengths)  # True at padding
+    orig_rand = torch.rand
+    torch.rand = lambda *a, **k: torch.ones(*a)
+    try:
+        with torch.no_grad():
+            ctc, s2s, attn = mod(mel, pad_mask, text)
+    finally:
+        torch.rand = orig_rand
+    save_fixture(os.path.join(out_dir, "golden_asr.npz"), mod, inp,
+                 {"ctc": ctc.numpy(), "s2s": s2s.numpy(),
+                  "attn": attn.numpy()})
 
 
 def export_composed_train(out_dir):

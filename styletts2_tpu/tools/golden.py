@@ -93,6 +93,17 @@ SPECS: Dict[str, Dict[str, Any]] = {
     # unlike the 41M MPD) + the weight-free mel-domain MRSTFT, recorded
     # through the reference loss functions (losses.py:24-147).
     "losses": dict(b=2, t=12000),
+    # ASR aligner DIRECT golden (reference ASR/models.py:8-186): scaled-down
+    # ASRCNN, full forward — CTC head, teacher-forced ASRS2S attention
+    # decoder, soft attention map. Complements the composed_train fixture
+    # (which replaces the attention with a synthetic tensor) with a direct
+    # module-level comparison. The reference's 10% token->unk masking is
+    # disabled on both sides (export patches torch.rand; replay passes
+    # rng=None). JDC stays live-only: JDCNet's channels are hard-coded
+    # (5.2M params, JDC/model.py:10-155) — too large to commit, same
+    # precedent as the 41M MPD.
+    "asr": dict(input_dim=80, hidden_dim=64, n_token=50, n_layers=3,
+                token_embedding_dim=128),
 }
 
 
@@ -175,5 +186,14 @@ def make_inputs(name: str) -> Dict[str, np.ndarray]:
         return {
             "y": (rng.standard_normal((b, t)) * 0.2).astype(np.float32),
             "y_hat": (rng.standard_normal((b, t)) * 0.2).astype(np.float32),
+        }
+    if name == "asr":
+        b, t_mel, t_text = 2, 40, 7
+        lengths = np.array([t_mel // 2, t_mel // 2 - 5], np.int64)
+        return {
+            "mel": rng.standard_normal((b, 80, t_mel)).astype(np.float32),
+            "text": rng.integers(4, s["n_token"],
+                                 (b, t_text)).astype(np.int64),
+            "lengths": lengths,  # DOWNSAMPLED (T_mel//2) memory lengths
         }
     raise KeyError(name)
