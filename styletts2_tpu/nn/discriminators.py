@@ -43,9 +43,12 @@ def _disc_p_apply(p, wav: jnp.ndarray, period: int,
     (T/p, p), run the (k,1)-conv stack."""
     b, t, _ = wav.shape
     if t % period != 0:
+        # torch F.pad(..., "reflect") mirrors about the last sample,
+        # EXCLUDING it: [a b c d] -> [a b c d c b] (reference
+        # discriminators.py:117) — not symmetric [.. d c]
         n_pad = period - (t % period)
-        wav = jnp.concatenate([wav, jnp.flip(wav[:, -n_pad:, :], axis=1)],
-                              axis=1)
+        wav = jnp.concatenate(
+            [wav, jnp.flip(wav[:, t - n_pad - 1: t - 1, :], axis=1)], axis=1)
         t = t + n_pad
     x = wav.reshape(b, t // period, period, 1)  # (B, H=T/p, W=p, C=1)
     fmap = []

@@ -26,7 +26,7 @@ ref_stubs.install()
 sys.path.insert(0, "/root/reference")
 
 from styletts2_tpu.tools.golden import (SINE_NOISE_CONST, SPECS,  # noqa: E402
-                                        make_inputs)
+                                        make_inputs, synth_state_dict)
 
 
 def sd_to_numpy(mod):
@@ -169,8 +169,66 @@ def main(out_dir=None):
                  inp, {"wav": out.numpy()})
 
     export_asr(out_dir)
+    export_jdc(out_dir)
+    export_mpd(out_dir)
     export_composed_train(out_dir)
     export_losses(out_dir)
+
+
+def load_synth_weights(mod, seed):
+    """Load a synth_state_dict (golden.py) into a torch module, asserting
+    the key/shape sets line up with what the replay side will derive from
+    this repo's param tree (values match only if the trees mirror)."""
+    shapes = {k: tuple(v.shape) for k, v in mod.state_dict().items()
+              if "num_batches_tracked" not in k}
+    sd = synth_state_dict(shapes, seed)
+    missing, unexpected = mod.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in sd.items()}, strict=False)
+    assert not unexpected, unexpected
+    assert all("num_batches_tracked" in k for k in missing), missing
+
+
+def export_jdc(out_dir):
+    """JDC pitch extractor direct golden (reference JDC/model.py:102-137)
+    at full size on synthesized shared weights — only the F0 output is
+    stored (the one JDC product the lite pipeline consumes,
+    train.py:260-261; GAN_feature feeds nothing here)."""
+    from Modules.JDC.model import JDCNet
+
+    spec = SPECS["jdc"]
+    mod = JDCNet(num_class=1, seq_len=192).eval()
+    load_synth_weights(mod, spec["seed"])
+    inp = make_inputs("jdc")
+    with torch.no_grad():
+        f0, _gan, _ = mod(torch.from_numpy(inp["mel"]).unsqueeze(1))
+    path = os.path.join(out_dir, "golden_jdc.npz")
+    np.savez_compressed(path, **{"out:f0": f0.numpy()})
+    print(f"wrote {path} (f0 {tuple(f0.shape)})")
+
+
+def export_mpd(out_dir):
+    """One full-size DiscriminatorP weight set (synthesized) evaluated at
+    periods 2 and 3 (reference discriminators.py:96-129): logits + every
+    feature map. The period is fold geometry only, so loading the same
+    weights into DiscriminatorP(3) is exact."""
+    from Modules.discriminators import DiscriminatorP
+
+    spec = SPECS["mpd_p"]
+    inp = make_inputs("mpd_p")
+    y = torch.from_numpy(inp["y"]).unsqueeze(1)
+    arrays = {}
+    for period in spec["periods"]:
+        mod = DiscriminatorP(period).eval()
+        load_synth_weights(mod, spec["seed"])
+        with torch.no_grad():
+            logits, fmap = mod(y)
+        arrays[f"out:p{period}_logits"] = logits.numpy()
+        for j, f in enumerate(fmap):
+            arrays[f"out:p{period}_fmap{j}"] = f.numpy()
+    path = os.path.join(out_dir, "golden_mpd.npz")
+    np.savez_compressed(path, **arrays)
+    total = sum(a.nbytes for a in arrays.values())
+    print(f"wrote {path} ({len(arrays)} arrays, {total/1e6:.2f} MB raw)")
 
 
 def export_asr(out_dir):
@@ -189,7 +247,12 @@ def export_asr(out_dir):
     lengths = torch.from_numpy(inp["lengths"])
     pad_mask = mod.length_to_mask(lengths)  # True at padding
     orig_rand = torch.rand
-    torch.rand = lambda *a, **k: torch.ones(*a)
+
+    def ones_rand(*a, **k):
+        k.pop("device", None)  # mirror patch_sine_determinism's kwarg handling
+        return torch.ones(*a, **k)
+
+    torch.rand = ones_rand
     try:
         with torch.no_grad():
             ctc, s2s, attn = mod(mel, pad_mask, text)
