@@ -376,8 +376,7 @@ class StyleTTS2:
         pcm = jnp.clip(wav[..., 0].astype(jnp.float32), -1.0, 1.0) * 32767.0
         return pcm.astype(jnp.int16)
 
-    def _fused_impl(self, params, tokens, mask, s, speed, fixed_flag,
-                    fixed_value, dur_scale, t, prev_mean, noise,
+    def _fused_impl(self, params, tokens, mask, s, scal, noise,
                     n_frames: int):
         """Single-dispatch synthesis: tokens -> (pcm, total_frames) in ONE
         graph, durations postprocessed on device — the short-utterance
@@ -389,11 +388,16 @@ class StyleTTS2:
         concurrently) — on a remote-tunneled chip each sync is a full
         round trip, and even locally it halves dispatch overhead.
         (The reference's ONNX export is the same single-graph formulation,
-        inference_onnx.py:221-262.)"""
+        inference_onnx.py:221-262.)
+
+        scal: (6,) f32 [speed, fixed_flag, fixed_value, dur_scale, t,
+        prev_mean] — packed so the host ships ONE array instead of six
+        scalar transfers (each a blocking round trip on a tunneled chip;
+        the caller bulk-device_puts tokens/mask/noise/scal together)."""
         t_en, d, duration = self._phase1_impl(params, tokens, mask, s)
         pred_dur, total = _device_postprocess_durations(
-            duration, mask, speed, fixed_flag, fixed_value, dur_scale,
-            t, prev_mean, noise)
+            duration, mask, scal[0], scal[1], scal[2], scal[3],
+            scal[4], scal[5], noise)
         pcm = self._phase2_impl(params, t_en, d, s, pred_dur, n_frames)
         return pcm, total
 
@@ -916,15 +920,19 @@ class StyleTTS2:
             # the exact draws the 2-phase plan's chain 0 would make
             chain_rng = np.random.default_rng([base_seed, 0])
             noise[0, : len(tk)] = chain_rng.normal(0.0, 1.0, size=len(tk))
+        scal = np.array([style.get("speed", 1.0),
+                         0.0 if fixed is None else 1.0,
+                         0.0 if fixed is None else fixed,
+                         1.0 if scale is None else scale,
+                         t_eff, 0.0], np.float32)
+        # ONE bulk host->device transfer for all four inputs (style is
+        # already a device array): separate jnp.asarray/scalar transfers
+        # each cost a blocking tunnel round trip before the dispatch
+        tokens_d, mask_d, noise_d, scal_d = jax.device_put(
+            (tokens, mask, noise, scal))
         pcm, total = self._fused(
-            self.params, jnp.asarray(tokens), jnp.asarray(mask),
-            jnp.asarray(style["style"]),
-            jnp.float32(style.get("speed", 1.0)),
-            jnp.float32(0.0 if fixed is None else 1.0),
-            jnp.float32(0.0 if fixed is None else fixed),
-            jnp.float32(1.0 if scale is None else scale),
-            jnp.float32(t_eff), jnp.float32(0.0), jnp.asarray(noise),
-            n_frames=fb)
+            self.params, tokens_d, mask_d, jnp.asarray(style["style"]),
+            scal_d, noise_d, n_frames=fb)
         self._fused_ready.add((tb, fb))
         # start both device->host copies before blocking on either
         pcm.copy_to_host_async()
@@ -983,9 +991,8 @@ class StyleTTS2:
                             jnp.ones((1, wtb), bool),
                             jnp.zeros((1, self.cfg.model_params.style_dim),
                                       jnp.float32),
-                            jnp.float32(1.0), jnp.float32(1.0),
-                            jnp.float32(1.0), jnp.float32(1.0),
-                            jnp.float32(0.0), jnp.float32(0.0),
+                            jnp.asarray([1.0, 1.0, 1.0, 1.0, 0.0, 0.0],
+                                        jnp.float32),
                             jnp.zeros((1, wtb), jnp.float32),
                             n_frames=wfb)
                         self._fused_ready.add(k)
@@ -1167,12 +1174,9 @@ class StyleTTS2:
                             if fbk not in warmed:
                                 warmed.add(fbk)
                                 self._fused(self.params, tokens, mask, sb,
-                                            jnp.float32(1.0),
-                                            jnp.float32(0.0),
-                                            jnp.float32(0.0),
-                                            jnp.float32(1.0),
-                                            jnp.float32(0.0),
-                                            jnp.float32(0.0),
+                                            jnp.asarray(
+                                                [1.0, 0.0, 0.0, 1.0,
+                                                 0.0, 0.0], jnp.float32),
                                             jnp.zeros((1, tb), jnp.float32),
                                             n_frames=fbk)
                                 self._fused_ready.add((tb, fbk))

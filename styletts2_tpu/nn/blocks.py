@@ -391,6 +391,20 @@ def adain_res_block1_apply(p, x: jnp.ndarray, s: jnp.ndarray,
 
         tile = VP._pick_tile(x.shape[1], c, itemsize)
         max_halo = max(dilation) * (kernel_size - 1) // 2
+        t_orig = x.shape[1]
+        pad_t = 0
+        if tile <= max_halo:
+            # no even tiling at this length (e.g. istftnet's
+            # reflection-padded odd last stage) — zero-pad the time axis to
+            # a tileable length and slice back after; the kernel's n_valid
+            # mask zeroes every conv input beyond the valid prefix, so the
+            # extra rows never feed back into real rows
+            t_new = VP._pad_to_tileable(t_orig, c, itemsize, max_halo)
+            if t_new > t_orig:
+                pad_t = t_new - t_orig
+                x = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0)))
+                mask = jnp.pad(mask, ((0, 0), (0, pad_t)))
+                tile = VP._pick_tile(t_new, c, itemsize)
         if tile > max_halo:
             fuse_x = (jnp.dtype(x.dtype) == jnp.bfloat16
                       and os.environ.get(
@@ -432,7 +446,7 @@ def adain_res_block1_apply(p, x: jnp.ndarray, s: jnp.ndarray,
                         p["convs2"][si]["weight"], p["convs2"][si]["bias"],
                         1, n_valid)
                     x = xt + x
-            return x
+            return x[:, :t_orig] if pad_t else x
     if fold is None:
         fold = 1
         # C=64 measures neutral (9.3 vs 10.0 ms/block on v5e) — fold only

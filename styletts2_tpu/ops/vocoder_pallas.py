@@ -102,6 +102,26 @@ def _pick_tile(t: int, c: int = 0, itemsize: int = 2,
     return 0  # no even tiling -> caller falls back to the XLA path
 
 
+def _pad_to_tileable(t: int, c: int = 0, itemsize: int = 2,
+                     halo: int = 0) -> int:
+    """Smallest t' >= t that _pick_tile can tile with a tile > halo, or 0.
+
+    Callers zero-pad the time axis to t' and slice the result back: the
+    kernel's n_valid position mask zeroes every conv input beyond the
+    valid prefix, so the extra rows never influence rows < t. This is what
+    lets istftnet's reflection-padded last stage (T = 60*F + 1, odd — no
+    even tiling exists) run the fused kernel instead of falling back to
+    XLA. Conservative io_blocks=6 cap so the padded length stays tileable
+    for the residual-fused variant too."""
+    cap = (_VMEM_BUDGET / (max(c, 128) * (40 + 6 * itemsize))) if c else t
+    if t <= cap:
+        return t
+    for cand in _TILE_CANDIDATES:
+        if cand <= cap and cand > halo:
+            return ((t + cand - 1) // cand) * cand
+    return 0
+
+
 def _pick_halo_block(tile: int, halo: int) -> int:
     """Smallest multiple-of-8 row count >= halo that evenly tiles `tile`:
     the prev/next inputs are fetched as one such block instead of a full
