@@ -726,23 +726,25 @@ class StyleTTS2:
             by_f.setdefault(_bucket(self.cfg.tpu.frame_buckets,
                                     piece_total[p]), []).append(p)
 
-        # merge under-filled frame buckets upward when the per-CALL serial
-        # scan constant outweighs the padded-row compute. A frame bucket is
-        # pure padding (the alignment zero-pads and the audio is trimmed to
+        # merge under-filled frame buckets upward when the per-CALL fixed
+        # cost outweighs the padded-row compute. A frame bucket is pure
+        # padding (the alignment zero-pads and the audio is trimmed to
         # piece_total), so merging is EXACT — it only trades wasted vocoder
         # rows for fewer phase-2 dispatches. Real-duration serving scatters
         # chunks over neighboring buckets (the stabilization noise nudges
-        # totals across boundaries), which otherwise multiplies the ~0.08
-        # ms/frame per-call BiLSTM constant. Cost model measured on v5e
-        # (hifigan, bf16): scan ~0.083 ms/frame/call; vocoder row ~0.074
-        # ms/frame/row.
-        _SCAN_MS_PER_FRAME, _ROW_MS_PER_FRAME = 0.083, 0.074
+        # totals across boundaries), which otherwise multiplies the
+        # dispatch constant. Cost model re-measured round 5 on v5e
+        # (hifigan, bf16, b=8 profile): per-call fixed cost ~32 ms
+        # (dispatch round trip + the f0n/align per-call terms — the scans
+        # amortize; phase-2 device time scales ~linearly with frames), row
+        # ~0.028 ms/frame.
+        _CALL_MS, _ROW_MS_PER_FRAME = 32.0, 0.028
         fbs_sorted = sorted(by_f)
         for a, b_next in zip(fbs_sorted, fbs_sorted[1:]):
             na, nb = len(by_f[a]), len(by_f[b_next])
             calls = lambda n: -(-n // self.max_batch)
-            before = (calls(na) * a + calls(nb) * b_next) * _SCAN_MS_PER_FRAME
-            after = (calls(na + nb) * b_next * _SCAN_MS_PER_FRAME
+            before = (calls(na) + calls(nb)) * _CALL_MS
+            after = (calls(na + nb) * _CALL_MS
                      + na * (b_next - a) * _ROW_MS_PER_FRAME)
             if after < before:
                 by_f[b_next] = by_f[b_next] + by_f.pop(a)

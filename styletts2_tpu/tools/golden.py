@@ -91,8 +91,11 @@ SPECS: Dict[str, Dict[str, Any]] = {
     ),
     # loss library golden: the full-size MSD (280,902 params — committable,
     # unlike the 41M MPD) + the weight-free mel-domain MRSTFT, recorded
-    # through the reference loss functions (losses.py:24-147).
-    "losses": dict(b=2, t=12000),
+    # through the reference loss functions (losses.py:24-147). t=6000
+    # (down from 12000 in round 5) still spans multiple frames of every
+    # MRSTFT/MSD resolution (largest fft 2048, hop 1200) at half the
+    # replay cost — the quick tier's slowest test.
+    "losses": dict(b=2, t=6000),
     # ASR aligner DIRECT golden (reference ASR/models.py:8-186): scaled-down
     # ASRCNN, full forward — CTC head, teacher-forced ASRS2S attention
     # decoder, soft attention map. Complements the composed_train fixture

@@ -37,11 +37,14 @@ def main():
 
     import jax
 
-    # honor JAX_PLATFORMS even under plugin backends that ignore the env
-    # var (the tunneled axon TPU plugin does) — `JAX_PLATFORMS=cpu` must
-    # profile CPU instead of hanging on a down tunnel
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # honor JAX_PLATFORMS=cpu even under plugin backends that ignore the
+    # env var (the tunneled axon TPU plugin does) — profiling CPU must not
+    # hang on a down tunnel. Only the cpu request is forwarded: blindly
+    # copying the env var (e.g. the harness's JAX_PLATFORMS=axon) into the
+    # config would REPLACE the default 'axon,cpu' list and unregister the
+    # host backend that model init runs on (models.py:28)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
 

@@ -36,6 +36,7 @@ def small_params():
     return cfg, build_model(jax.random.PRNGKey(0), cfg)
 
 
+@pytest.mark.slow  # multi-second model build + save/load; full-suite only
 def test_checkpoint_roundtrip(tmp_path, small_params):
     cfg, params = small_params
     p = str(tmp_path / "ckpt.ckpt")
@@ -100,6 +101,7 @@ def test_extend_tokens(small_params):
     assert c2["weight"].shape[0] == old.shape[0] + 11
 
 
+@pytest.mark.slow  # grad-through-blur compile is multi-second; full-suite
 def test_soft_alignment_differentiable():
     from styletts2_tpu.nn.slm import soft_alignment_from_durations
 
