@@ -605,7 +605,14 @@ def main():
     # executing on the chip, then batch i is drained — the host plan glue
     # hides under device execution exactly as in serve()'s steady state,
     # so the measured ceiling is drain-bound, not (plan+drain)-bound.
-    # plan/drain are still timed separately for the breakdown.
+    # Breakdown semantics (round-5 profiling): under pipelining, the
+    # overlapped plan call's duration sync BLOCKS until its phase-1 clears
+    # the device queue — i.e. until the previous batch's phase-2 finishes —
+    # so its wall time is mostly device-queue wait, not host work. The TRUE
+    # host glue is therefore measured ONCE with the device idle
+    # (plan_host_glue_ms_isolated, ~73 ms vs ~740 ms overlapped-wall on a
+    # healthy window), and the pipelined plan wall is recorded separately
+    # under a name that says what it contains.
     _progress("serving on-device")
 
     def _plan8():
@@ -615,35 +622,55 @@ def main():
             texts8, style, stabilize=True, n_merge=MERGE_LONG)
         return parts_of, (time.perf_counter() - tp) * 1000.0
 
-    t0 = time.perf_counter()
-    total_d = 0.0
-    plan_ms = drain_ms = 0.0
-    pending, pms = _plan8()
-    plan_ms += pms
-    for i in range(reps8):
-        nxt = None
-        if i + 1 < reps8:
-            nxt, pms = _plan8()  # overlaps the device executing `pending`
-            plan_ms += pms
-        td = time.perf_counter()
-        seen = set()
-        for parts in pending:
+    # isolated plan: device idle, so this times tokenize + phase-1 +
+    # duration sync + piece partitioning + phase-2 dispatch with no queue
+    # wait leaking in; its work then primes the pipeline as batch 0
+    def _drain(parts_of, seen, acc=0.0):
+        for parts in parts_of:
             # same audio accounting as the host-side metrics: 8000 samples
             # of head/tail trim per CHUNK (generate trims each chunk)
-            total_d -= 8000.0 / 24000.0
+            acc -= 8000.0 / 24000.0
             for wav_dev, _row, total in parts:
-                total_d += total * 2 * eng.hop / 24000.0
+                acc += total * 2 * eng.hop / 24000.0
                 if id(wav_dev) not in seen:
                     seen.add(id(wav_dev))
                     jax.block_until_ready(wav_dev)
+        return acc
+
+    pending, plan_iso_ms = _plan8()          # batch 0 (priming)
+    nxt, _ = _plan8()                        # batch 1, overlaps batch 0
+    _drain(pending, set())                   # priming drain: excluded —
+    pending = nxt                            # steady state starts here
+    ondevice_reps = 2 if lite else 8
+    t0 = time.perf_counter()
+    total_d = 0.0
+    plan_ms = drain_ms = 0.0
+    for i in range(ondevice_reps):
+        nxt = None
+        if i + 1 < ondevice_reps:
+            nxt, pms = _plan8()  # overlaps the device executing `pending`
+            plan_ms += pms
+        td = time.perf_counter()
+        total_d = _drain(pending, set(), total_d)
         drain_ms += (time.perf_counter() - td) * 1000.0
         pending = nxt
     ondevice_rtf = total_d / (time.perf_counter() - t0)
     serving_breakdown = {
-        "plan_host_glue_ms_per_batch": round(plan_ms / reps8, 1),
-        "device_drain_ms_per_batch": round(drain_ms / reps8, 1),
-        "audio_s_per_batch": round(total_d / reps8, 1),
+        "plan_host_glue_ms_isolated": round(plan_iso_ms, 1),
+        "plan_wall_ms_per_batch_pipelined": round(
+            plan_ms / max(ondevice_reps - 1, 1), 1),
+        "plan_wall_note": "pipelined plan wall ~= device-queue wait on the "
+                          "phase-1 duration sync; host glue is the "
+                          "isolated number",
+        "device_drain_ms_per_batch": round(drain_ms / ondevice_reps, 1),
+        "audio_s_per_batch": round(total_d / ondevice_reps, 1),
     }
+    if isinstance(dev_loop.get("inv_rtf"), (int, float)):
+        # fraction of the b=8 on-device fori_loop ceiling the pipelined
+        # serving path reaches — the serial term is device compute, and
+        # this says how little the host adds on top of it
+        serving_breakdown["pipeline_efficiency_vs_device_loop"] = round(
+            ondevice_rtf / dev_loop["inv_rtf"], 3)
 
     # degraded-window insurance: when the probes said the tunnel was sick,
     # spend what remains of the budget re-measuring the HEADLINE (maybe the
@@ -698,6 +725,9 @@ def main():
             "serving_8x_ondevice_inv_rtf": round(ondevice_rtf, 2),
             "serving_ondevice_vs_single_stream": round(
                 ondevice_rtf / max(h["inv_rtf"], 1e-9), 2),
+            "serving_ondevice_vs_single_stream_median": round(
+                ondevice_rtf / max(h.get("inv_rtf_median",
+                                         h["inv_rtf"]), 1e-9), 2),
             "serving_duration_path": "real (duration_scale-calibrated), "
                                      "stabilize=True",
             "serving_breakdown": serving_breakdown,
