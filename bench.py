@@ -615,11 +615,18 @@ def main():
     # under a name that says what it contains.
     _progress("serving on-device")
 
-    def _plan8():
+    def _ph1():
+        """Stage A: tokenize + phase-1 dispatch (host work only)."""
         reseed()
         tp = time.perf_counter()
-        parts_of, _chain, _origin, _n = eng._batch_plan(
-            texts8, style, stabilize=True, n_merge=MERGE_LONG)
+        pre = eng._batch_plan_phase1(texts8, style, stabilize=True,
+                                     n_merge=MERGE_LONG)
+        return pre, (time.perf_counter() - tp) * 1000.0
+
+    def _finish(pre):
+        """Stage B: duration sync + partition + phase-2 dispatch."""
+        tp = time.perf_counter()
+        parts_of, _chain, _origin, _n = eng._batch_plan_finish(pre)
         return parts_of, (time.perf_counter() - tp) * 1000.0
 
     # isolated plan: device idle, so this times tokenize + phase-1 +
@@ -637,31 +644,47 @@ def main():
                     jax.block_until_ready(wav_dev)
         return acc
 
-    pending, plan_iso_ms = _plan8()          # batch 0 (priming)
-    nxt, _ = _plan8()                        # batch 1, overlaps batch 0
-    _drain(pending, set())                   # priming drain: excluded —
-    pending = nxt                            # steady state starts here
-    ondevice_reps = 2 if lite else 8
+    pre, p_ms = _ph1()                       # batch 0 (priming)
+    pending, f_ms = _finish(pre)
+    plan_iso_ms = p_ms + f_ms
+    pre, _ = _ph1()                          # batch 1's phase-1: executes
+    _drain(pending, set())                   # during this priming drain —
+    ondevice_reps = 2 if lite else 8         # steady state starts here
+    # triple-stage order matching serve(): batch i+1's phase-1 is
+    # dispatched before batch i's phase-2 is planned (its durations then
+    # come back DURING batch i-1's vocoder compute, so _finish never
+    # blocks on the device), and batch i-1 is drained only after batch
+    # i's phase-2 is in the queue — the device always has the next
+    # batch's work queued when the current one completes
     t0 = time.perf_counter()
     total_d = 0.0
     plan_ms = drain_ms = 0.0
+    pending = None
     for i in range(ondevice_reps):
         nxt = None
         if i + 1 < ondevice_reps:
-            nxt, pms = _plan8()  # overlaps the device executing `pending`
+            nxt, pms = _ph1()
             plan_ms += pms
-        td = time.perf_counter()
-        total_d = _drain(pending, set(), total_d)
-        drain_ms += (time.perf_counter() - td) * 1000.0
-        pending = nxt
+        planned, pms = _finish(pre)
+        plan_ms += pms
+        if pending is not None:
+            td = time.perf_counter()
+            total_d = _drain(pending, set(), total_d)
+            drain_ms += (time.perf_counter() - td) * 1000.0
+        pending = planned
+        pre = nxt
+    td = time.perf_counter()
+    total_d = _drain(pending, set(), total_d)
+    drain_ms += (time.perf_counter() - td) * 1000.0
     ondevice_rtf = total_d / (time.perf_counter() - t0)
     serving_breakdown = {
         "plan_host_glue_ms_isolated": round(plan_iso_ms, 1),
         "plan_wall_ms_per_batch_pipelined": round(
-            plan_ms / max(ondevice_reps - 1, 1), 1),
-        "plan_wall_note": "pipelined plan wall ~= device-queue wait on the "
-                          "phase-1 duration sync; host glue is the "
-                          "isolated number",
+            plan_ms / ondevice_reps, 1),
+        "plan_wall_note": "phase-1 dispatch + duration sync + phase-2 "
+                          "dispatch per batch under the triple-stage "
+                          "pipeline; any excess over the isolated glue "
+                          "is device-queue wait",
         "device_drain_ms_per_batch": round(drain_ms / ondevice_reps, 1),
         "audio_s_per_batch": round(total_d / ondevice_reps, 1),
     }

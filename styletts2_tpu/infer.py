@@ -585,7 +585,28 @@ class StyleTTS2:
         ordered list of (device_batch, row, n_frames) pieces (frame-bucket
         overflow splits a chunk into several phase-2 pieces); origin[i] is
         the input sentence index chunk i came from (token-bucket overflow
-        splitting can grow the chunk list)."""
+        splitting can grow the chunk list).
+
+        Split into two stages so multi-batch callers (serve) can overlap
+        across batches: _plan_phase1 tokenizes and dispatches the phase-1
+        graphs; _plan_finish syncs durations and dispatches phase-2. The
+        duration sync waits for this plan's phase-1 to clear the device
+        queue — i.e. behind any previously dispatched phase-2 work — so
+        dispatching batch i+1's phase-1 BEFORE finishing batch i keeps
+        useful work queued while the host partitions batch i (the device
+        otherwise idles for the partition + dispatch glue between
+        consecutive batches)."""
+        return self._plan_finish(self._plan_phase1(
+            sentences, ref_s, speed, prev_d_mean, t, chain_of,
+            base_seed=base_seed))
+
+    def _plan_phase1(self, sentences: List[str], ref_s,
+                     speed: float, prev_d_mean: float, t: float,
+                     chain_of: Optional[List[int]] = None,
+                     base_seed: Optional[int] = None) -> Dict[str, Any]:
+        """Stage A of _synthesize_plan: chunk splitting, tokenization and
+        the phase-1 dispatch. Returns the plan state _plan_finish needs;
+        nothing here blocks on device results."""
         s = jnp.asarray(ref_s)
 
         # split any chunk whose token count exceeds the largest compiled
@@ -657,6 +678,26 @@ class StyleTTS2:
                 d_of[i] = (d, row)
                 dur_dev_of[i] = (dur, row)
 
+        if base_seed is None:
+            # drawn here (not in _plan_finish) so interleaved multi-batch
+            # pipelines consume the engine RNG in plan order
+            base_seed = int(self._rng.integers(2 ** 63))
+        return dict(sentences=sentences, origin=origin, n_chunks=n_chunks,
+                    tokenized=tokenized, tbs=tbs, t_en_of=t_en_of,
+                    d_of=d_of, dur_dev_of=dur_dev_of, s_dev=s_dev,
+                    speed=speed, prev_d_mean=prev_d_mean, t=t,
+                    chain_of=chain_of, base_seed=base_seed)
+
+    def _plan_finish(self, st: Dict[str, Any]):
+        """Stage B of _synthesize_plan: the duration host sync + chain,
+        piece partitioning and the phase-2 dispatch."""
+        (origin, n_chunks, tokenized, tbs, t_en_of, d_of, dur_dev_of,
+         s_dev, speed, prev_d_mean, t, chain_of, base_seed) = (
+            st["origin"], st["n_chunks"], st["tokenized"], st["tbs"],
+            st["t_en_of"], st["d_of"], st["dur_dev_of"], st["s_dev"],
+            st["speed"], st["prev_d_mean"], st["t"], st["chain_of"],
+            st["base_seed"])
+
         # host sync: duration chain (order-dependent via prev_d_mean).
         # fetch each distinct phase-1 batch buffer ONCE, starting every
         # copy async before blocking on the first — transfers overlap
@@ -674,8 +715,6 @@ class StyleTTS2:
         means: List[float] = []
         chain_mean: Dict[int, float] = {}
         chain_rng: Dict[int, np.random.Generator] = {}
-        if base_seed is None:
-            base_seed = int(self._rng.integers(2 ** 63))
         pred_of = [None] * n_chunks
         for i in range(n_chunks):
             dur_dev, row = dur_dev_of[i]
@@ -1078,6 +1117,15 @@ class StyleTTS2:
                     stabilize: bool, n_merge: int):
         """Dispatch a generate_batch workload without fetching audio.
         Returns an opaque planned-batch for _batch_assemble."""
+        return self._batch_plan_finish(
+            self._batch_plan_phase1(phonems, style, stabilize, n_merge))
+
+    def _batch_plan_phase1(self, phonems: List[str], style: Dict[str, Any],
+                           stabilize: bool, n_merge: int):
+        """Stage A of _batch_plan: chunking + the phase-1 dispatch (see
+        _plan_phase1). Multi-batch pipelines (serve) call this for batch
+        i+1 BEFORE _batch_plan_finish on batch i, so the device has batch
+        i+1's phase-1 queued while the host partitions batch i."""
         smooth = 0.2 if stabilize else 0.0
         per_text = [split_into_chunks(t, n_merge=n_merge) for t in phonems]
         flat: List[str] = []
@@ -1086,11 +1134,20 @@ class StyleTTS2:
             flat.extend(chunks)
             chain_of.extend([ti] * len(chunks))
         if not flat:
-            return (None, chain_of, [], len(phonems))
-        wav_parts_of, _, origin = self._synthesize_plan(
-            flat, style["style"], style.get("speed", 1.0), 0.0, smooth,
-            chain_of)
-        return (wav_parts_of, chain_of, origin, len(phonems))
+            return (None, chain_of, len(phonems))
+        st = self._plan_phase1(flat, style["style"],
+                               style.get("speed", 1.0), 0.0, smooth,
+                               chain_of)
+        return (st, chain_of, len(phonems))
+
+    def _batch_plan_finish(self, pre):
+        """Stage B of _batch_plan: duration sync + phase-2 dispatch.
+        Returns the opaque planned-batch for _batch_assemble."""
+        st, chain_of, n_texts = pre
+        if st is None:
+            return (None, chain_of, [], n_texts)
+        wav_parts_of, _, origin = self._plan_finish(st)
+        return (wav_parts_of, chain_of, origin, n_texts)
 
     def _batch_assemble(self, planned) -> List[np.ndarray]:
         """Fetch + assemble a _batch_plan result into per-text waveforms."""
@@ -1116,16 +1173,27 @@ class StyleTTS2:
         the corresponding lists of waveforms (generate_batch semantics per
         batch).
 
-        Double-buffered: batch i+1's synthesis is dispatched on-device
-        BEFORE batch i's audio is fetched, so the device->host copy of one
-        batch overlaps the vocoder compute of the next and the chip never
-        idles on the host. Use for throughput (request queues); use
-        generate_batch for one-shot latency. No reference equivalent (the
-        reference synthesizes chunk-by-chunk in-line, inference.py:303-319).
-        """
-        pending = None
+        Triple-stage pipelined: batch i+1's PHASE-1 is dispatched before
+        batch i's phase-2 is planned (so the device runs batch i+1's text
+        encoding during the host's duration-partitioning glue for batch i,
+        instead of idling), and batch i's phase-2 is dispatched before
+        batch i-1's audio is fetched (so the device->host copy of one
+        batch overlaps the vocoder compute of the next). Use for
+        throughput (request queues); use generate_batch for one-shot
+        latency. No reference equivalent (the reference synthesizes
+        chunk-by-chunk in-line, inference.py:303-319)."""
+        pre = None       # phase-1 dispatched, durations not yet synced
+        pending = None   # fully planned (phase-2 dispatched), not fetched
         for texts in batches:
-            planned = self._batch_plan(texts, style, stabilize, n_merge)
+            nxt = self._batch_plan_phase1(texts, style, stabilize, n_merge)
+            if pre is not None:
+                planned = self._batch_plan_finish(pre)
+                if pending is not None:
+                    yield self._batch_assemble(pending)
+                pending = planned
+            pre = nxt
+        if pre is not None:
+            planned = self._batch_plan_finish(pre)
             if pending is not None:
                 yield self._batch_assemble(pending)
             pending = planned
